@@ -1,0 +1,138 @@
+"""Directional statistics: Angular Central Gaussian (quaternions) and
+von Mises (2D in-plane rotations).
+
+The statistical heart of pose perturbation/compression in the particle
+filter (reference src/Geometry/DirectionalStat.cpp).  All functions are
+jittable and batch over leading axes (vmap-friendly); the reference's
+GSL rejection loops become fixed-round vectorized samplers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu.geometry.quaternion import quat_normalize
+
+_ACG_TOL = 1e-3
+_ACG_MAX_ITER = 64
+
+
+def sample_acg(key: jax.Array, k1, k2, k3, n: int) -> jax.Array:
+    """Sample ``n`` quaternions from ACG with covariance diag(1, k1, k2, k3).
+
+    DirectionalStat.cpp:78-91: draw 4D Gaussian with that (diagonal)
+    covariance, normalize to the unit 3-sphere.
+    """
+    scale = jnp.sqrt(jnp.stack([jnp.ones_like(jnp.asarray(k1, jnp.float32)),
+                                jnp.asarray(k1, jnp.float32),
+                                jnp.asarray(k2, jnp.float32),
+                                jnp.asarray(k3, jnp.float32)], axis=-1))
+    v = jax.random.normal(key, (n, 4)) * scale
+    return quat_normalize(v)
+
+
+def infer_acg_matrix(q: jax.Array) -> jax.Array:
+    """ML estimate of the 4x4 ACG scatter matrix from quaternions (n, 4).
+
+    Fixed-point iteration (DirectionalStat.cpp:93-145):
+        B = 4/nf * sum_i (q_i q_i^T) / (q_i^T A^{-1} q_i),  nf = sum_i 1/u_i
+    iterated until sum|A - B| < 1e-3.  Implemented as a bounded
+    while_loop so it stays jit/vmap-compatible.
+    """
+    n = q.shape[-2]
+    eye = jnp.eye(4, dtype=q.dtype)
+
+    def step(a):
+        u = jnp.einsum("...ni,...ij,...nj->...n", q, jnp.linalg.inv(a), q)
+        u = jnp.maximum(u, 1e-12)
+        b = 4.0 * jnp.einsum("...ni,...nj,...n->...ij", q, q, 1.0 / u)
+        nf = jnp.sum(1.0 / u, axis=-1)
+        return b / nf[..., None, None]
+
+    def cond(state):
+        a, b, it = state
+        diff = jnp.sum(jnp.abs(a - b))
+        return jnp.logical_and(diff > _ACG_TOL, it < _ACG_MAX_ITER)
+
+    def body(state):
+        _, b, it = state
+        return b, step(b), it + 1
+
+    a0 = eye * jnp.ones(q.shape[:-2] + (1, 1), dtype=q.dtype)
+    state = (a0, step(a0), jnp.zeros((), jnp.int32))
+    a, _, _ = jax.lax.while_loop(cond, body, state)
+    del n
+    return a
+
+
+def infer_acg_k123(q: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(k1, k2, k3) = (A11, A22, A33) / A00 (DirectionalStat.cpp:184-208)."""
+    a = infer_acg_matrix(q)
+    a00 = jnp.maximum(a[..., 0, 0], 1e-12)
+    return a[..., 1, 1] / a00, a[..., 2, 2] / a00, a[..., 3, 3] / a00
+
+
+def infer_acg_mean(q: jax.Array) -> jax.Array:
+    """Dominant eigenvector of the ACG matrix (DirectionalStat.cpp:224-249)."""
+    a = infer_acg_matrix(q)
+    _, vecs = jnp.linalg.eigh(a)  # ascending eigenvalues
+    mean = vecs[..., :, -1]
+    return quat_normalize(mean)
+
+
+def vms_kappa(k: jax.Array) -> jax.Array:
+    """Map the framework's compression parameter k in (0, 1] to the von
+    Mises concentration kappa (DirectionalStat.cpp:256)."""
+    k = jnp.clip(k, 1e-6, 1.0)
+    return (1 - k) * (1 + 2 * k - k * k) / k / (2 - k)
+
+
+def sample_vms(key: jax.Array, mu: jax.Array, k: jax.Array, n: int,
+               n_rounds: int = 8) -> jax.Array:
+    """Sample ``n`` unit 2-vectors from von Mises centered at ``mu``.
+
+    Best-Fisher rejection (DirectionalStat.cpp:264-318) vectorized with a
+    fixed number of proposal rounds; un-accepted lanes (probability
+    ~ reject_rate^n_rounds, negligible) fall back to the mode.  For very
+    small kappa the distribution is uniform on the circle.
+    """
+    kappa = vms_kappa(k)
+    ku, kz, kflip = jax.random.split(key, 3)
+
+    # Best-Fisher proposal parameters
+    kap = jnp.maximum(kappa, 1e-6)
+    a = 1 + jnp.sqrt(1 + 4 * kap * kap)
+    b = (a - jnp.sqrt(2 * a)) / (2 * kap)
+    r = (1 + b * b) / (2 * b)
+
+    z = jnp.cos(jnp.pi * jax.random.uniform(kz, (n_rounds, n)))
+    f = (1 + r * z) / (r + z)
+    c = kap * (r - f)
+    u2 = jax.random.uniform(ku, (n_rounds, n), minval=1e-12)
+    accept = jnp.logical_or(c * (2 - c) > u2, jnp.log(c / u2) + 1 - c >= 0)
+    # first accepted round per lane
+    first = jnp.argmax(accept, axis=0)
+    any_acc = jnp.any(accept, axis=0)
+    f_sel = jnp.where(any_acc, jnp.take_along_axis(f, first[None], axis=0)[0], 1.0)
+
+    delta = jnp.sqrt(jnp.maximum(0.0, (1 - f_sel) * (1 + f_sel)))
+    sign = jnp.where(jax.random.uniform(kflip, (n,)) > 0.5, 1.0, -1.0)
+    x = mu[0] * f_sel + sign * delta * mu[1]
+    y = mu[1] * f_sel - sign * delta * mu[0]
+    out = jnp.stack([x, y], axis=-1)
+
+    # uniform-on-circle branch for tiny kappa (DirectionalStat.cpp:273)
+    phi = jax.random.uniform(kz, (n,), minval=0.0, maxval=2 * jnp.pi)
+    uniform = jnp.stack([jnp.cos(phi), jnp.sin(phi)], axis=-1)
+    return jnp.where(kappa < 1e-1, uniform, out)
+
+
+def infer_vms(v: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Mean direction and compression k = 1 - R from unit 2-vectors
+    (..., n, 2) (DirectionalStat.cpp:334-357)."""
+    s = jnp.sum(v, axis=-2)
+    norm = jnp.linalg.norm(s, axis=-1)
+    big_r = norm / v.shape[-2]
+    mu = s / jnp.maximum(norm, 1e-12)[..., None]
+    return mu, 1 - big_r
