@@ -1,0 +1,161 @@
+"""The hot likelihood kernel, MXU-style.
+
+Reference semantics (Optimiser.cpp:9187-10263 scalar/AVX kernels and
+gpu/src/Kernel.cu kernel_logDataVS*):
+
+    dvp[pose] = sum_px |dat - ctf * tra * pri|^2 * sigRcp,
+    sigRcp = -0.5 / sigma^2   (Optimiser.cpp:5242)
+
+so dvp is a log-likelihood (higher = better) and pose weights are
+softmax(dvp) with a streaming baseline.
+
+TPU re-design: expand the square.  With s = sigRcp,
+
+    dvp[l,m,n] = A[l] + B[l,m] + C[l,n,m]
+    A[l]     = sum_px s |dat|^2                      (pose-independent)
+    B[l,m]   = sum_px (s ctf^2)[l] |pri[m]|^2        -> matmul (L,P)@(P,M)
+    C[l,n,m] = -2 Re sum_px (s ctf dat conj(tra[n]))[l] conj(pri[m])
+             -> one real matmul (L*N, 2P) @ (2P, M)
+
+The whole global-search pose grid therefore runs as large MXU
+contractions instead of the reference's hand-vectorized pixel loops; a
+flash-attention-style scan over rotation blocks keeps the running
+log-sum-exp baseline and the wC/wR/wT marginals without materializing
+the full (L, M, N) tensor (Optimiser.cpp:827-897's streaming baseline).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _split_ri(z: jax.Array) -> jax.Array:
+    """(..., p) complex -> (..., 2p) float32 [re | im]."""
+    return jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=-1).astype(jnp.float32)
+
+
+def log_dvp_block(dat_w: jax.Array, sctf2: jax.Array, pri: jax.Array,
+                  tra: jax.Array, a_term: jax.Array) -> jax.Array:
+    """Log-likelihood for a (rotation-block x translation) pose grid.
+
+    dat_w : (l, p) complex  = s * ctf * dat        (precomputed per round)
+    sctf2 : (l, p) float    = s * ctf^2
+    pri   : (m, p) complex   projected slices for this rotation block
+    tra   : (n, p) complex   translation phase ramps
+    a_term: (l,)   float    = sum_px s |dat|^2
+
+    Returns dvp: (l, m, n) float32.
+    """
+    pri_ri = _split_ri(pri)                                   # (m, 2p)
+    b = jnp.einsum("lp,mp->lm", sctf2, jnp.abs(pri) ** 2, precision=_PREC)
+
+    # X[l,n,p] = dat_w * conj(tra);  C = -2 Re(X conj(pri))
+    x = dat_w[:, None, :] * jnp.conj(tra)[None, :, :]         # (l, n, p)
+    x_ri = _split_ri(x)                                       # (l, n, 2p)
+    c = -2.0 * jnp.einsum("lnq,mq->lmn", x_ri, pri_ri, precision=_PREC)
+    return a_term[:, None, None] + b[:, :, None] + c
+
+
+class PoseWeightState(NamedTuple):
+    """Streaming softmax state over the global pose grid."""
+
+    baseline: jax.Array  # (l,) running max of dvp
+    w_c: jax.Array       # (l, k) class marginals
+    w_r: jax.Array       # (k, l, m_total) rotation marginals
+    w_t: jax.Array       # (k, l, n) translation marginals
+
+
+def init_pose_state(n_img: int, n_class: int, n_rot: int, n_trans: int) -> PoseWeightState:
+    return PoseWeightState(
+        baseline=jnp.full((n_img,), -jnp.inf, dtype=jnp.float32),
+        w_c=jnp.zeros((n_img, n_class), dtype=jnp.float32),
+        w_r=jnp.zeros((n_class, n_img, n_rot), dtype=jnp.float32),
+        w_t=jnp.zeros((n_class, n_img, n_trans), dtype=jnp.float32),
+    )
+
+
+def update_pose_state(state: PoseWeightState, dvp: jax.Array, i_class: int,
+                      m_off: int, prior_w_r: jax.Array, prior_w_t: jax.Array,
+                      m_block: int) -> PoseWeightState:
+    """Fold one rotation block of one class into the streaming marginals.
+
+    dvp: (l, mb, n); prior_w_r: (l, m_total) support-point prior weights
+    (the particle filter's wR), prior_w_t: (l, n).  Marginal updates
+    follow Optimiser.cpp:873-881:
+        wC[l,t]  += w * wR_prior[m] * wT_prior[n]
+        wR[t][l,m] += w * wT_prior[n]
+        wT[t][l,n] += w * wR_prior[m]
+    with w = exp(dvp - baseline) and baseline rescaling on overflow.
+    """
+    blk_max = jnp.max(dvp, axis=(1, 2))                       # (l,)
+    new_base = jnp.maximum(state.baseline, blk_max)
+    scale = jnp.exp(state.baseline - new_base)                # <= 1
+    scale = jnp.where(jnp.isfinite(scale), scale, 0.0)
+
+    w = jnp.exp(dvp - new_base[:, None, None])                # (l, mb, n)
+    pw_r = jax.lax.dynamic_slice_in_dim(prior_w_r, m_off, m_block, axis=1)
+
+    d_wc = jnp.einsum("lmn,lm,ln->l", w, pw_r, prior_w_t)
+    d_wr = jnp.einsum("lmn,ln->lm", w, prior_w_t)
+    d_wt = jnp.einsum("lmn,lm->ln", w, pw_r)
+
+    w_c = state.w_c * scale[:, None]
+    w_r = state.w_r * scale[None, :, None]
+    w_t = state.w_t * scale[None, :, None]
+
+    w_c = w_c.at[:, i_class].add(d_wc)
+    w_r = w_r.at[i_class].set(
+        jax.lax.dynamic_update_slice_in_dim(
+            w_r[i_class],
+            jax.lax.dynamic_slice_in_dim(w_r[i_class], m_off, m_block, axis=1) + d_wr,
+            m_off,
+            axis=1,
+        )
+    )
+    w_t = w_t.at[i_class].add(d_wt)
+    return PoseWeightState(new_base, w_c, w_r, w_t)
+
+
+def log_dvp_local(dat_w: jax.Array, sctf2: jax.Array, pri: jax.Array,
+                  tra: jax.Array, a_term: jax.Array) -> jax.Array:
+    """Per-image local-search likelihood over each image's own support.
+
+    dat_w : (l, p) complex = s * ctf * dat
+    sctf2 : (l, p) float
+    pri   : (l, r, p) complex  (per-image rotations)
+    tra   : (l, t, p) complex  (per-image translations)
+    Returns dvp: (l, r, t) float32 — batched MXU matmuls over l.
+    """
+    b = jnp.einsum("lp,lrp->lr", sctf2, jnp.abs(pri) ** 2, precision=_PREC)
+    x = dat_w[:, None, :] * jnp.conj(tra)                     # (l, t, p)
+    x_ri = _split_ri(x)
+    pri_ri = _split_ri(pri)
+    c = -2.0 * jnp.einsum("ltq,lrq->lrt", x_ri, pri_ri, precision=_PREC)
+    return a_term[:, None, None] + b[:, :, None] + c
+
+
+def log_dvp_local_ctf(dat_s: jax.Array, s_pack: jax.Array, ctf_d: jax.Array,
+                      pri: jax.Array, tra: jax.Array,
+                      a_term: jax.Array) -> jax.Array:
+    """Local search with defocus refinement: per-support-point CTFs.
+
+    dat_s : (l, p) complex = s * dat
+    s_pack: (l, p) float   = sigRcp
+    ctf_d : (l, d, p) float  per-defocus-support CTFs (ctf_packed_scaled)
+    pri   : (l, r, p) complex;  tra: (l, t, p) complex
+    Returns dvp: (l, d, r, t) float32.
+    """
+    b = jnp.einsum("lp,ldp,lrp->ldr", s_pack, ctf_d**2, jnp.abs(pri) ** 2,
+                   precision=_PREC)
+    x = dat_s[:, None, :] * jnp.conj(tra)                     # (l, t, p)
+    # C[l,d,r,t] = -2 Re sum_p ctf_d[l,d,p] x[l,t,p] conj(pri[l,r,p])
+    xc = x[:, None, :, :] * ctf_d[:, :, None, :]              # (l, d, t, p)
+    x_ri = _split_ri(xc)
+    pri_ri = _split_ri(pri)
+    c = -2.0 * jnp.einsum("ldtq,lrq->ldrt", x_ri, pri_ri, precision=_PREC)
+    return a_term[:, None, None, None] + b[..., None] + c

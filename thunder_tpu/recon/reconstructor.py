@@ -1,0 +1,221 @@
+"""Gridding reconstruction: Wiener filter, iterative weight balancing,
+final inverse transform + kernel correction.
+
+Reference: Reconstructor::reconstruct (Reconstructor.cpp:1129-1831).
+All steps below are jittable functions over centered full-space grids;
+the hemisphere allreduce of F/T lives in the sharded driver (a psum over
+the data mesh axis replacing MPI_Allreduce_Large, Reconstructor.cpp:2350).
+
+Pipeline per class (3D; the 2D path is identical with plane FFTs):
+  1. Wiener-divide T by the clamped FSC (join-half sqrt(2f/(1+f)) when
+     merging hemispheres)            [Reconstructor.cpp:1156-1279]
+  2. floor T at 1e-25, init W = 1 inside max radius     [:1288-1330]
+  3. balance loop (<= 30): C = T.W -> real-space multiply by the MKB
+     window -> back; W /= max(|C|, 1e-6); stop at max||C|-1| < 1e-2 or
+     2 non-decreasing rounds after 10                    [:1356-1551]
+  4. padDst = F.W -> inverse FFT -> extract 1/pf -> divide by the
+     trilinear kernel FT in real space                   [:1589-1831]
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu.constants import (
+    C_ABS_MIN,
+    DIFF_C_DECREASE_THRES,
+    DIFF_C_THRES,
+    FSC_BASE_H,
+    FSC_BASE_L,
+    MAX_N_ITER_BALANCE,
+    MIN_N_ITER_BALANCE,
+    N_DIFF_C_NO_DECREASE,
+    T_MIN,
+    WIENER_FACTOR_MIN_R,
+    DEFAULT_MKB_A,
+    DEFAULT_MKB_ALPHA,
+)
+from thunder_tpu.ops.fourier import (
+    extract_rl,
+    fft2_centered,
+    fft3_centered,
+    ifft2_centered,
+    ifft3_centered,
+)
+from thunder_tpu.physics.kernels import mkb_rl, tik_rl
+from thunder_tpu.physics.mask import radial_grid
+from thunder_tpu.physics.spectrum import _shell_geometry
+
+
+@lru_cache(maxsize=32)
+def _pad_shell_index(big: int, ndim: int) -> jax.Array:
+    u, _ = _shell_geometry(big, ndim)
+    return u
+
+
+@lru_cache(maxsize=32)
+def _mkb_window(big: int, ndim: int, a: float, alpha: float) -> jax.Array:
+    """Real-space MKB window over the padded FFT-layout grid, normalized
+    to 1 at the origin (convoluteC, Reconstructor.cpp:2595-2674)."""
+    r = radial_grid(big, ndim) / big
+    nf = mkb_rl(jnp.asarray(0.0), a, alpha)
+    return (mkb_rl(r, a, alpha) / nf).astype(jnp.float32)
+
+
+@lru_cache(maxsize=32)
+def _tik_correction(size: int, ndim: int, pf: int) -> jax.Array:
+    """Real-space trilinear kernel FT over the unpadded FFT-layout grid
+    (final correction, Reconstructor.cpp:1784-1818)."""
+    r = radial_grid(size, ndim) / (pf * size)
+    return tik_rl(r).astype(jnp.float32)
+
+
+def wiener_filter_t(t_grid: jax.Array, fsc_curve: jax.Array, pf: int,
+                    max_radius: int, join_half: bool) -> jax.Array:
+    """T /= clamp(FSC) on shells in [WIENER_FACTOR_MIN_R*pf, maxRadius*pf)."""
+    big, ndim = t_grid.shape[-1], t_grid.ndim
+    u = _pad_shell_index(big, ndim)
+    n_fsc = fsc_curve.shape[0]
+    shell = jnp.minimum(u // pf, n_fsc - 1)
+    fsc = jnp.where(u // pf >= n_fsc, 0.0, fsc_curve[shell])
+    fsc = jnp.clip(fsc, FSC_BASE_L, FSC_BASE_H)
+    if join_half:
+        fsc = jnp.sqrt(2 * fsc / (1 + fsc))
+    active = (u >= WIENER_FACTOR_MIN_R * pf) & (u < max_radius * pf)
+    return jnp.where(active, t_grid / fsc, t_grid)
+
+
+def balance_weights(t_grid: jax.Array, pf: int, max_radius: int,
+                    a: float = DEFAULT_MKB_A,
+                    alpha: float = DEFAULT_MKB_ALPHA) -> jax.Array:
+    """Iterate W such that (T.W) convolved with the gridding window ~ 1.
+
+    t_grid: real float32 centered grid (already Wiener-filtered).
+    Returns W (float32).  The C-convolution is a padded-volume FFT pair
+    with a real-space MKB window (the reference's tabulated kernel made
+    exact on the VPU).
+    """
+    big, ndim = t_grid.shape[-1], t_grid.ndim
+    quad_inside = _quad_inside(big, ndim, max_radius * pf)
+    window = _mkb_window(big, ndim, a, alpha)
+
+    t_grid = jnp.maximum(t_grid, T_MIN)
+    w0 = jnp.where(quad_inside, 1.0, 0.0).astype(jnp.float32)
+
+    def convolute_c(c_ft):
+        # keep C complex through the round trip: it is not Hermitian
+        # mid-iteration (T is real but the windowing acts per-voxel)
+        c_rl = jnp.fft.ifftn(jnp.fft.ifftshift(c_ft))
+        c_rl = c_rl * window
+        return jnp.fft.fftshift(jnp.fft.fftn(c_rl))
+
+    def body(state):
+        w, diff_prev, n_no_dec, it, _ = state
+        c = (t_grid * w).astype(jnp.complex64)
+        c = convolute_c(c)
+        c_abs = jnp.abs(c)
+        w = jnp.where(quad_inside, w / jnp.maximum(c_abs, C_ABS_MIN), w)
+        diff = jnp.max(jnp.where(quad_inside, jnp.abs(c_abs - 1.0), 0.0))
+        n_no_dec = jnp.where(diff > diff_prev * DIFF_C_DECREASE_THRES,
+                             n_no_dec + 1, 0)
+        return w, diff, n_no_dec, it + 1, diff_prev
+
+    def cond(state):
+        _, diff, n_no_dec, it, _ = state
+        not_converged = diff >= DIFF_C_THRES
+        not_stalled = jnp.logical_or(it < MIN_N_ITER_BALANCE,
+                                     n_no_dec < N_DIFF_C_NO_DECREASE)
+        return jnp.logical_and(
+            it < MAX_N_ITER_BALANCE,
+            jnp.logical_and(not_converged, not_stalled),
+        )
+
+    big_f = jnp.asarray(jnp.finfo(jnp.float32).max)
+    state = (w0, big_f, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), big_f)
+    state = body(state)  # always run at least one iteration
+    w, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return w
+
+
+@lru_cache(maxsize=32)
+def _quad_inside(big: int, ndim: int, radius: float) -> jax.Array:
+    c = big // 2
+    k = np.arange(big) - c
+    if ndim == 2:
+        ky, kx = np.meshgrid(k, k, indexing="ij")
+        q = kx * kx + ky * ky
+    else:
+        kz, ky, kx = np.meshgrid(k, k, k, indexing="ij")
+        q = kx * kx + ky * ky + kz * kz
+    return jnp.asarray(q < radius**2)
+
+
+def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
+                            pf: int, max_radius: int,
+                            grid_corr: bool = True) -> jax.Array:
+    """F.W -> real space -> extract 1/pf -> trilinear kernel correction.
+
+    Returns the reconstructed real-space volume/image (FFT layout, size^ndim).
+    """
+    big, ndim = f_grid.shape[-1], f_grid.ndim
+    quad_inside = _quad_inside(big, ndim, max_radius * pf)
+    pad_dst = jnp.where(quad_inside, f_grid * w, 0.0)
+    ifftc = ifft3_centered if ndim == 3 else ifft2_centered
+    rl = ifftc(pad_dst)
+    out = extract_rl(rl, pf)
+    if grid_corr:
+        out = out / _tik_correction(size, ndim, pf)
+    # padding in real space spreads the density over pf^ndim fewer...
+    # normalization: ifft of the padded grid divides by (pf*size)^ndim
+    # while the reference's FFTW bw divides by the same count — scale
+    # matches; extraction keeps values as-is.
+    return out
+
+
+def reconstruct(f_grid: jax.Array, t_grid: jax.Array, fsc_curve: jax.Array,
+                size: int, pf: int, max_radius: int,
+                map_wiener: bool = True, join_half: bool = False,
+                grid_corr: bool = True) -> jax.Array:
+    """Full per-class reconstruction from accumulated (F, T) grids."""
+    t_real = jnp.real(t_grid) if jnp.iscomplexobj(t_grid) else t_grid
+    if map_wiener:
+        t_real = wiener_filter_t(t_real, fsc_curve, pf, max_radius, join_half)
+    if grid_corr:
+        w = balance_weights(t_real, pf, max_radius)
+    else:
+        # no grid correction: W = 1/T inside radius (Reconstructor.cpp:1553-...)
+        big, ndim = t_real.shape[-1], t_real.ndim
+        quad_inside = _quad_inside(big, ndim, max_radius * pf)
+        w = jnp.where(quad_inside, 1.0 / jnp.maximum(t_real, T_MIN), 0.0)
+    return finalize_reconstruction(f_grid, w, size, pf, max_radius, grid_corr)
+
+
+def symmetrize_ft(grid: jax.Array, sym_mats: jax.Array, max_radius_pad: float) -> jax.Array:
+    """Sum rotated copies over the symmetry group (SYMMETRIZE_FT,
+    include/Geometry/Transformation.h:170-195): out = sum_s grid(R_s f),
+    trilinear resampling, identity included.
+    """
+    big = grid.shape[-1]
+    c = big // 2
+    k = jnp.arange(big, dtype=jnp.float32) - c
+    kz, ky, kx = jnp.meshgrid(k, k, k, indexing="ij")
+    inside = (kx * kx + ky * ky + kz * kz) < max_radius_pad**2
+
+    from thunder_tpu.ops.projector import _gather_trilinear_3d
+
+    def one(rot):
+        x = rot[0, 0] * kx + rot[0, 1] * ky + rot[0, 2] * kz
+        y = rot[1, 0] * kx + rot[1, 1] * ky + rot[1, 2] * kz
+        z = rot[2, 0] * kx + rot[2, 1] * ky + rot[2, 2] * kz
+        return jnp.where(inside, _gather_trilinear_3d(grid, x, y, z), 0.0)
+
+    def body(carry, rot):
+        return carry + one(rot), None
+
+    init = jnp.where(inside, grid, grid)  # identity element contribution
+    out, _ = jax.lax.scan(body, init, sym_mats[1:]) if sym_mats.shape[0] > 1 else (init, None)
+    return out
