@@ -1,0 +1,674 @@
+"""The E-M driver: expectation (pose search) + maximization (sigma +
+reconstruction) + round-level control.
+
+Re-design of Optimiser (src/Optimiser.cpp, 10k LoC) as a host-orchestrated
+loop over jitted device stages:
+
+  round:
+    pack pixel rings for the current cutoff r          [allocPreCalIdx]
+    GLOBAL: scanned MXU pose grid -> class/rot/trans marginals
+                                                       [expectation :633-1136]
+    particle-filter phases: perturb -> evaluate -> resample
+                                                       [expectation :1138-1681]
+    sigma refresh from rank-1 residuals                [allReduceSigma :6397]
+    reconstruction: draw poses -> scatter insertion -> gridding
+                                                       [reconstructRef :6711]
+    host: FSC between hemispheres, resolution & search-type state
+    machine, checkpoints                               [Model, run :3561]
+
+Hemisphere A/B = two independent replicas of the model state over
+disjoint halves of the data (gold standard, Parallel.cpp:17-67); on a
+device mesh the data axis shards each hemisphere's images and the F/T
+accumulators psum over it (see thunder_tpu.parallel).
+
+All hot stages are module-level jitted functions (compiled once per
+ring-size bucket, reused across rounds and hemispheres).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from thunder_tpu import particle as pt
+from thunder_tpu.config import ThunderConfig
+from thunder_tpu.constants import (
+    MAX_N_PHASE_PER_ITER,
+    MIN_N_PHASE_PER_ITER_GLOBAL,
+    MIN_N_PHASE_PER_ITER_LOCAL,
+    MIN_N_TRANSLATION_GLOBAL,
+    N_PHASE_WITH_NO_VARI_DECREASE,
+)
+from thunder_tpu.geometry import Symmetry
+from thunder_tpu.geometry.quaternion import random_quat, rotate2d_from_unit, rotate3d
+from thunder_tpu.model import (
+    ModelState,
+    SEARCH_TYPE_CTF,
+    SEARCH_TYPE_GLOBAL,
+    SEARCH_TYPE_LOCAL,
+    SEARCH_TYPE_STOP,
+)
+from thunder_tpu.ops.fourier import (
+    PackedRings,
+    extract_packed,
+    pack_rings,
+    translate_phases,
+)
+from thunder_tpu.ops.insert import (
+    hermitianize,
+    hermitianize_real,
+    insert_slices_2d,
+    insert_slices_3d,
+)
+from thunder_tpu.ops.likelihood import log_dvp_block, log_dvp_local
+from thunder_tpu.ops.projector import (
+    Projectee,
+    prepare_projectee_2d,
+    prepare_projectee_3d,
+    project_2d,
+    project_3d,
+)
+from thunder_tpu.physics.ctf import CtfParams, ctf_packed
+from thunder_tpu.physics.spectrum import fsc as fsc_fn
+from thunder_tpu.pipeline.preprocess import (
+    init_sigma,
+    preprocess_images,
+    sigma_to_sig_rcp,
+)
+from thunder_tpu.recon.reconstructor import reconstruct, symmetrize_ft
+
+PARTICLE_FILTER_DECREASE_FACTOR = 0.95  # include/Optimiser.h:60
+
+_ROT_BLOCK = 256  # rotations per MXU block in global search
+
+
+# ======================================================================
+# jitted device stages (module-level: compiled once per shape bucket)
+# ======================================================================
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d"))
+def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool):
+    """(K, size, ...) real-space refs -> (K, big, ...) padded corrected
+    spectra (Projector::setProjectee per class, Model::refreshProj)."""
+    prep = prepare_projectee_2d if mode_2d else prepare_projectee_3d
+    return jnp.stack([prep(refs[t], pf).ft for t in range(refs.shape[0])])
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d"))
+def _global_block(proj_ft, rot_blk, i_col, i_row, dat_w, sctf2, a_term,
+                  tra, baseline, size: int, pf: int, mode_2d: bool):
+    """One (class, rotation-block) step of the scanned global search."""
+    proj = Projectee(proj_ft, size, pf, size // 2 - 1)
+    rings = _RingsView(i_col, i_row, size)
+    pri = (project_2d if mode_2d else project_3d)(proj, rot_blk, rings)
+    dvp = log_dvp_block(dat_w, sctf2, pri, tra, a_term)   # (l, mb, n)
+    blk_max = jnp.max(dvp, axis=(1, 2))
+    new_base = jnp.maximum(baseline, blk_max)
+    scale = jnp.where(jnp.isfinite(baseline), jnp.exp(baseline - new_base), 0.0)
+    w = jnp.exp(dvp - new_base[:, None, None])
+    return new_base, scale, jnp.sum(w, axis=(1, 2)), jnp.sum(w, axis=2), jnp.sum(w, axis=1)
+
+
+class _RingsView(NamedTuple):
+    """Minimal PackedRings stand-in usable inside jit (static size)."""
+
+    i_col: jax.Array
+    i_row: jax.Array
+    size: int
+
+
+@partial(jax.jit, static_argnames=("n_rot_out", "n_trans_out", "mode"))
+def _adopt_global_jit(key, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d,
+                      n_rot_out: int, n_trans_out: int, mode: int):
+    """Class draw + support adoption + clip + resample
+    (Optimiser.cpp:925-1118)."""
+    n_img = w_c.shape[0]
+    w_c_cl = pt.clip_u_class(w_c)
+    w_c_norm = w_c_cl / jnp.maximum(jnp.sum(w_c_cl, axis=-1, keepdims=True), 1e-30)
+    kc, k1, k2 = jax.random.split(key, 3)
+    cls = jax.random.categorical(kc, jnp.log(w_c_norm + 1e-30), axis=-1)
+
+    n_rot = w_r.shape[-1]
+    n_trans = w_t.shape[-1]
+    u_r = w_r[cls, jnp.arange(n_img)]
+    u_t = w_t[cls, jnp.arange(n_img)]
+
+    par = pt.ParticleState(
+        r=jnp.broadcast_to(quats, (n_img, n_rot, 4)),
+        t=jnp.broadcast_to(trans, (n_img, n_trans, 2)),
+        d=par_d,
+        w_r=jnp.full((n_img, n_rot), 1.0 / n_rot),
+        w_t=jnp.full((n_img, n_trans), 1.0 / n_trans),
+        w_d=w_d, u_r=u_r, u_t=u_t, u_d=u_d,
+        top_r=jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (n_img, 4)),
+        top_t=jnp.zeros((n_img, 2)), top_d=par_d[:, 0],
+        k1=jnp.ones((n_img,)), k2=jnp.ones((n_img,)), k3=jnp.ones((n_img,)),
+        s0=jnp.ones((n_img,)), s1=jnp.ones((n_img,)),
+        s_d=jnp.zeros((n_img,)), score=jnp.zeros((n_img,)),
+    )
+    par = pt.clip_u_r(par, mode)
+    par = pt.clip_u_t(par)
+    par = pt.resample_r(k1, par, n_rot_out)
+    par = pt.resample_t(k2, par, n_trans_out)
+    par = pt.cal_vari_r(par, mode)
+    par = pt.cal_vari_t(par)
+    return par, cls, w_c_norm
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small", "trans_s"))
+def _phase_step(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
+                dat_w, sctf2, a_term, size: int, pf: int, mode: int,
+                pf_small: float, trans_s: float):
+    """One particle-filter phase: perturb -> evaluate -> clip -> resample
+    -> variance inference (Optimiser.cpp:1183-1614)."""
+    mode_2d = mode == pt.MODE_2D
+    kr, kt2, krs, kts = jax.random.split(key, 4)
+    par = pt.perturb_r(kr, par, pf_small, mode)
+    par = pt.perturb_t(kt2, par, pf_small, trans_s)
+
+    rings = _RingsView(i_col, i_row, size)
+    tra = translate_phases_view(i_col, i_row, size, par.t)
+    if mode_2d:
+        rot = rotate2d_from_unit(par.r[..., :2])
+        project = project_2d
+    else:
+        rot = rotate3d(par.r)
+        project = project_3d
+
+    k_cls = proj_stack.shape[0]
+    pri_pc = jnp.stack(
+        [project(Projectee(proj_stack[t], size, pf, size // 2 - 1), rot, rings)
+         for t in range(k_cls)], axis=0,
+    )
+    pri = pri_pc[cls, jnp.arange(cls.shape[0])]
+
+    dvp = log_dvp_local(dat_w, sctf2, pri, tra, a_term)   # (L, R, T)
+    base = jnp.max(dvp, axis=(1, 2), keepdims=True)
+    w = jnp.exp(dvp - base)
+    u_r = jnp.einsum("lrt,lt->lr", w, par.w_t)
+    u_t = jnp.einsum("lrt,lr->lt", w, par.w_r)
+    par = par._replace(u_r=u_r, u_t=u_t)
+    par = pt.clip_u_r(par, mode)
+    par = pt.resample_r(krs, par, par.r.shape[1])
+    par = pt.resample_t(kts, par, par.t.shape[1])
+    par = pt.cal_vari_r(par, mode)
+    par = pt.cal_vari_t(par)
+    vari = (jnp.mean(par.k1), jnp.mean(par.s0), jnp.mean(par.s1))
+    return par, vari
+
+
+def translate_phases_view(i_col, i_row, size, trans):
+    phase = (2 * jnp.pi / size) * (
+        i_col.astype(jnp.float32) * trans[..., 0:1]
+        + i_row.astype(jnp.float32) * trans[..., 1:2]
+    )
+    return jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r", "n_group"))
+def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
+                top_r, top_t, group_id, sigma_prev, r_u,
+                size: int, pf: int, mode_2d: bool, max_r: int, n_group: int):
+    """Rank-1 residual noise spectra (allReduceSigma, group mode)."""
+    rings = _RingsView(i_col, i_row, size)
+    if mode_2d:
+        rot = rotate2d_from_unit(top_r[..., :2])
+        project = project_2d
+    else:
+        rot = rotate3d(top_r)
+        project = project_3d
+    k_cls = proj_stack.shape[0]
+    pri_pc = jnp.stack(
+        [project(Projectee(proj_stack[t], size, pf, size // 2 - 1),
+                 rot[:, None], rings)[:, 0] for t in range(k_cls)], axis=0,
+    )
+    pri = pri_pc[cls, jnp.arange(cls.shape[0])]
+    tra = translate_phases_view(i_col, i_row, size, top_t[:, None])[:, 0]
+    resid = dat - ctf * tra * pri
+    power = jnp.abs(resid) ** 2 * mask
+
+    shell = jnp.minimum(i_sig, max_r)
+    sig_sum = jnp.zeros((n_group, max_r + 1), jnp.float32)
+    cnt_sum = jnp.zeros((n_group, max_r + 1), jnp.float32)
+    sig_sum = sig_sum.at[group_id[:, None], shell[None, :]].add(power / 2)
+    cnt_sum = cnt_sum.at[group_id[:, None], shell[None, :]].add(
+        jnp.broadcast_to(mask, power.shape)
+    )
+    sigma = sig_sum[:, :max_r] / jnp.maximum(cnt_sum[:, :max_r], 1.0)
+    valid = jnp.arange(max_r) < r_u
+    return jnp.where(valid[None, :], jnp.maximum(sigma, 1e-6), sigma_prev)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym"))
+def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
+                  sym_mats, max_radius_pad, size: int, pf: int,
+                  mode_2d: bool, n_sym: int):
+    """Translate-align + scatter-insert one class's images into (F, T)."""
+    big = size * pf
+    tra = translate_phases_view(i_col, i_row, size, trans)      # (L, D, P)
+    dat_al = dat[:, None, :] * jnp.conj(tra)
+    vals = dat_al * (ctf * mask)[:, None, :] * w_l[:, None, None]
+    ctf2w = (ctf * ctf * mask)[:, None, :] * w_l[:, None, None]
+
+    if mode_2d:
+        rot = rotate2d_from_unit(quats[..., :2])
+        f_grid = jnp.zeros((big, big), jnp.complex64)
+        t_grid = jnp.zeros((big, big), jnp.float32)
+        f_grid, t_grid = insert_slices_2d(
+            f_grid, t_grid, vals, ctf2w, rot, i_col, i_row, pf, max_radius_pad
+        )
+    else:
+        rot = rotate3d(quats)
+        f_grid = jnp.zeros((big,) * 3, jnp.complex64)
+        t_grid = jnp.zeros((big,) * 3, jnp.float32)
+        f_grid, t_grid = insert_slices_3d(
+            f_grid, t_grid, vals, ctf2w, rot, i_col, i_row, pf, max_radius_pad
+        )
+    f_grid = hermitianize(f_grid)
+    t_grid = hermitianize_real(t_grid)
+    if not mode_2d and n_sym > 1:
+        f_grid = symmetrize_ft(f_grid, sym_mats, max_radius_pad)
+        t_grid = jnp.real(
+            symmetrize_ft(t_grid.astype(jnp.complex64), sym_mats, max_radius_pad)
+        )
+    return f_grid, t_grid
+
+
+# ======================================================================
+# host-side orchestration
+# ======================================================================
+
+
+class HemisphereData(NamedTuple):
+    ft_masked: jax.Array
+    ft_ori: jax.Array
+    ctf_params: CtfParams
+    group_id: jax.Array
+    index: np.ndarray          # original particle indices (for .thu export)
+
+
+@dataclass
+class HemisphereState:
+    refs: jax.Array            # (K, size, size[, size]) real space FFT layout
+    sigma: jax.Array           # (n_group, max_r)
+    par: pt.ParticleState
+    cls: jax.Array             # (L,)
+    w_c: np.ndarray | None = None
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Optimiser:
+    """Host orchestration of one refinement/classification run."""
+
+    def __init__(self, cfg: ThunderConfig, images: np.ndarray,
+                 ctf: CtfParams, group_id: np.ndarray,
+                 init_refs: np.ndarray | None = None,
+                 key: jax.Array | None = None,
+                 hemi_of: np.ndarray | None = None):
+        self.cfg = cfg
+        self.key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        self.sym = Symmetry(cfg.sym) if not cfg.mode_2d else Symmetry("C1")
+        self.mode = pt.MODE_2D if cfg.mode_2d else pt.MODE_3D
+        n = images.shape[0]
+        if hemi_of is None:
+            hemi_of = np.arange(n) % 2
+        self.hemi_of = hemi_of
+        self.n_group = int(group_id.max()) + 1 if n else 1
+
+        self.model = ModelState(
+            n_class=cfg.k, size=cfg.size, pixel_size=cfg.pixel_size,
+            r_init=cfg.r_init, r_global=cfg.r_global, max_r=cfg.max_r,
+            l_search=cfg.l_search, c_search=cfg.c_search,
+        )
+        if not cfg.g_search:
+            self.model.search_type = SEARCH_TYPE_LOCAL
+            self.model.r = min(cfg.max_r, max(self.model.r, cfg.r_global))
+
+        self.data: list[HemisphereData] = []
+        self.state: list[HemisphereState] = []
+        self.round_records: list[dict] = []
+
+        for h in (0, 1):
+            sel = np.nonzero(hemi_of == h)[0]
+            imgs_h = jnp.asarray(images[sel])
+            prep = preprocess_images(imgs_h, cfg.mask_radius / cfg.pixel_size,
+                                     zero_mask=cfg.zero_mask)
+            ctf_h = CtfParams(*[jnp.asarray(np.asarray(f)[sel]) for f in ctf])
+            data = HemisphereData(
+                ft_masked=prep.ft_masked, ft_ori=prep.ft_ori,
+                ctf_params=ctf_h,
+                group_id=jnp.asarray(group_id[sel].astype(np.int32)),
+                index=sel,
+            )
+            sigma0 = init_sigma(prep.ft_ori, cfg.max_r)
+            sigma = jnp.broadcast_to(sigma0, (self.n_group, cfg.max_r))
+
+            if init_refs is None:
+                refs = self._blank_refs()
+            else:
+                refs = np.asarray(init_refs, dtype=np.float32)
+                if refs.ndim == (2 if cfg.mode_2d else 3):
+                    refs = np.repeat(refs[None], cfg.k, axis=0)
+
+            self.key, sub = jax.random.split(self.key)
+            par = pt.init_particles(
+                sub, len(sel), cfg.n_rot_local, cfg.m_l_t,
+                cfg.m_l_d if cfg.c_search else 1, cfg.trans_s, self.mode,
+            )
+            self.key, sub = jax.random.split(self.key)
+            cls = jax.random.randint(sub, (len(sel),), 0, cfg.k)
+            self.data.append(data)
+            self.state.append(
+                HemisphereState(refs=jnp.asarray(refs), sigma=sigma,
+                                par=par, cls=cls)
+            )
+
+    # ------------------------------------------------------------------
+
+    def _blank_refs(self) -> np.ndarray:
+        cfg = self.cfg
+        from thunder_tpu.physics.mask import radial_grid
+
+        nd = 2 if cfg.mode_2d else 3
+        u = np.asarray(radial_grid(cfg.size, nd))
+        r = cfg.mask_radius / cfg.pixel_size
+        blob = np.where(u < r, 1.0, 0.0).astype(np.float32)
+        refs = np.repeat(blob[None], cfg.k, axis=0)
+        rng = np.random.default_rng(cfg.seed)
+        refs = refs * (1 + 0.01 * rng.standard_normal(refs.shape).astype(np.float32))
+        return refs
+
+    def _rings(self) -> PackedRings:
+        return pack_rings(self.cfg.size, int(self.model.r), self.cfg.r_low)
+
+    def _pack_inputs(self, h: int, rings: PackedRings):
+        cfg = self.cfg
+        d = self.data[h]
+        s = self.state[h]
+        dat = extract_packed(d.ft_masked, rings)
+        ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row, cfg.size,
+                         cfg.pixel_size)
+        sig = s.sigma[d.group_id[:, None], rings.i_sig[None, :]]
+        sig_rcp = sigma_to_sig_rcp(sig) * rings.mask
+        dat_w = (sig_rcp * ctf).astype(jnp.complex64) * dat
+        sctf2 = sig_rcp * ctf * ctf
+        a_term = jnp.sum(sig_rcp * jnp.abs(dat) ** 2, axis=-1)
+        return dat_w, sctf2, a_term
+
+    # -- global search --------------------------------------------------
+
+    def _n_trans_global(self) -> int:
+        cfg = self.cfg
+        chi2q = 1.3862943611198906  # chisq Qinv(0.5, 2) = 2 ln 2
+        n = int(round(math.pi * (cfg.trans_s * chi2q) ** 2
+                      * cfg.trans_search_factor))
+        return max(MIN_N_TRANSLATION_GLOBAL, n)
+
+    def expectation_global(self, h: int, rings: PackedRings):
+        cfg = self.cfg
+        d = self.data[h]
+        s = self.state[h]
+        n_img = d.ft_masked.shape[0]
+
+        if cfg.mode_2d:
+            n_rot = cfg.n_rot_global
+        else:
+            n_rot = max(1, cfg.n_rot_global // (1 + self.sym.n_elements))
+        # round up to a whole number of MXU blocks (the grid is random
+        # sampling, so extra rotations are just extra samples)
+        if n_rot > _ROT_BLOCK:
+            n_rot = _round_up(n_rot, _ROT_BLOCK)
+        n_trans = self._n_trans_global()
+
+        self.key, kr, kt = jax.random.split(self.key, 3)
+        if cfg.mode_2d:
+            phi = jax.random.uniform(kr, (n_rot,), maxval=2 * jnp.pi)
+            quats = jnp.stack(
+                [jnp.cos(phi), jnp.sin(phi), jnp.zeros_like(phi),
+                 jnp.zeros_like(phi)], axis=-1)
+            rot = rotate2d_from_unit(quats[..., :2])
+        else:
+            quats = random_quat(kr, (n_rot,))
+            rot = rotate3d(quats)
+        trans = jax.random.normal(kt, (n_trans, 2)) * cfg.trans_s
+
+        dat_w, sctf2, a_term = self._pack_inputs(h, rings)
+        tra = translate_phases(rings, trans)
+
+        proj_stack = _prepare_projectee_stack(
+            s.refs, cfg.size, cfg.pf, cfg.mode_2d
+        )
+
+        block = min(_ROT_BLOCK, n_rot)
+        n_blocks = (n_rot + block - 1) // block
+
+        baseline = jnp.full((n_img,), -jnp.inf, jnp.float32)
+        w_c = jnp.zeros((n_img, cfg.k), jnp.float32)
+        w_r = jnp.zeros((cfg.k, n_img, n_rot), jnp.float32)
+        w_t = jnp.zeros((cfg.k, n_img, n_trans), jnp.float32)
+
+        for t in range(cfg.k):
+            for b in range(n_blocks):
+                off = b * block
+                new_base, scale, d_wc, d_wr, d_wt = _global_block(
+                    proj_stack[t], rot[off:off + block], rings.i_col,
+                    rings.i_row, dat_w, sctf2, a_term, tra, baseline,
+                    cfg.size, cfg.pf, cfg.mode_2d,
+                )
+                baseline = new_base
+                w_c = w_c * scale[:, None]
+                w_r = w_r * scale[None, :, None]
+                w_t = w_t * scale[None, :, None]
+                w_c = w_c.at[:, t].add(d_wc)
+                w_r = w_r.at[t, :, off:off + block].add(d_wr)
+                w_t = w_t.at[t].add(d_wt)
+
+        return dict(w_c=w_c, w_r=w_r, w_t=w_t, quats=quats, trans=trans)
+
+    def adopt_global(self, h: int, g: dict):
+        cfg = self.cfg
+        s = self.state[h]
+        self.key, sub = jax.random.split(self.key)
+        par, cls, w_c_norm = _adopt_global_jit(
+            sub, g["w_c"], g["w_r"], g["w_t"], g["quats"], g["trans"],
+            s.par.d, s.par.w_d, s.par.u_d,
+            cfg.n_rot_local, cfg.m_l_t, self.mode,
+        )
+        s.par = par
+        s.cls = cls
+        s.w_c = np.asarray(w_c_norm)
+
+    # -- local phases ---------------------------------------------------
+
+    def local_phases(self, h: int, rings: PackedRings) -> int:
+        cfg = self.cfg
+        s = self.state[h]
+        dat_w, sctf2, a_term = self._pack_inputs(h, rings)
+        proj_stack = _prepare_projectee_stack(
+            s.refs, cfg.size, cfg.pf, cfg.mode_2d
+        )
+
+        is_global = self.model.search_type == SEARCH_TYPE_GLOBAL
+        min_phase = (MIN_N_PHASE_PER_ITER_GLOBAL if is_global
+                     else MIN_N_PHASE_PER_ITER_LOCAL)
+        pf_small = (cfg.perturb_factor_s_global if is_global
+                    else (cfg.perturb_factor_s_ctf
+                          if self.model.search_type == SEARCH_TYPE_CTF
+                          else cfg.perturb_factor_s_local))
+
+        par = s.par
+        n_no_dec = 0
+        prev = None
+        phase = 0
+        for phase in range(MAX_N_PHASE_PER_ITER):
+            self.key, sub = jax.random.split(self.key)
+            par, vari = _phase_step(
+                sub, par, s.cls, proj_stack, rings.i_col, rings.i_row,
+                dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
+                float(pf_small), float(cfg.trans_s),
+            )
+            k1, s0, s1 = (float(v) for v in vari)
+            if phase + 1 >= min_phase and prev is not None:
+                pk1, ps0, ps1 = prev
+                f = PARTICLE_FILTER_DECREASE_FACTOR
+                decreased = (k1 < pk1 * f) or (s0 < ps0 * f) or (s1 < ps1 * f)
+                n_no_dec = 0 if decreased else n_no_dec + 1
+                if n_no_dec >= N_PHASE_WITH_NO_VARI_DECREASE:
+                    prev = (k1, s0, s1)
+                    break
+            prev = (k1, s0, s1)
+        par = pt.cal_score(par, self.mode)
+        if self.sym.order > 1 and not cfg.mode_2d:
+            par = pt.symmetrise_top(par, self.sym)
+        s.par = par
+        return phase + 1
+
+    # -- maximization ---------------------------------------------------
+
+    def refresh_sigma(self, h: int):
+        cfg = self.cfg
+        d = self.data[h]
+        s = self.state[h]
+        rings = pack_rings(cfg.size, cfg.max_r, 0)
+        dat = extract_packed(d.ft_ori, rings)
+        ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
+                         cfg.size, cfg.pixel_size)
+        proj_stack = _prepare_projectee_stack(
+            s.refs, cfg.size, cfg.pf, cfg.mode_2d
+        )
+        s.sigma = _sigma_step(
+            dat, ctf, rings.mask, rings.i_col, rings.i_row, rings.i_sig,
+            proj_stack, s.cls, s.par.top_r, s.par.top_t, d.group_id,
+            s.sigma, jnp.asarray(cfg.max_r),
+            cfg.size, cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
+        )
+
+    def reconstruct_round(self, h: int):
+        cfg = self.cfg
+        d = self.data[h]
+        s = self.state[h]
+        r_u = min(int(self.model.r) + 3, cfg.max_r)
+        rings = pack_rings(cfg.size, r_u, 0)
+
+        dat = extract_packed(d.ft_ori, rings) * rings.mask
+        ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
+                         cfg.size, cfg.pixel_size)
+
+        self.key, kd = jax.random.split(self.key)
+        n_draw = min(cfg.m_reco, s.par.n_r * s.par.n_t)
+        quats, trans, _ = pt.draw_poses(kd, s.par, n_draw)
+        w_draw = 1.0 / n_draw
+
+        if cfg.par_gra:
+            score = s.par.score / jnp.maximum(jnp.max(s.par.score), 1e-12)
+            w_img = score
+        else:
+            w_img = jnp.ones((dat.shape[0],), jnp.float32)
+
+        pairs = []
+        for t in range(cfg.k):
+            w_l = (s.cls == t).astype(jnp.float32) * w_img * w_draw
+            f_grid, t_grid = _insert_class(
+                dat, ctf, rings.mask, rings.i_col, rings.i_row,
+                quats, trans, w_l, self.sym.matrices,
+                jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
+                cfg.size, cfg.pf, cfg.mode_2d, self.sym.order,
+            )
+            pairs.append((f_grid, t_grid))
+        return pairs, r_u
+
+    # -- one full round --------------------------------------------------
+
+    def run_round(self, i_round: int) -> dict:
+        cfg = self.cfg
+        t0 = time.time()
+        rings = self._rings()
+        record = dict(round=i_round, r=int(self.model.r),
+                      search_type=int(self.model.search_type))
+
+        n_phases = []
+        for h in (0, 1):
+            if self.model.search_type == SEARCH_TYPE_GLOBAL and cfg.g_search:
+                g = self.expectation_global(h, rings)
+                self.adopt_global(h, g)
+            n_phases.append(self.local_phases(h, rings))
+        record["n_phases"] = n_phases
+
+        s0 = max(float(jnp.mean(self.state[h].par.s0)) for h in (0, 1))
+        s1 = max(float(jnp.mean(self.state[h].par.s1)) for h in (0, 1))
+        self.model.set_t_vari(s0, s1)
+
+        ft_pairs = []
+        for h in (0, 1):
+            self.refresh_sigma(h)
+            pairs, r_u = self.reconstruct_round(h)
+            ft_pairs.append(pairs)
+
+        n_shells = cfg.max_r
+        fsc_all = np.zeros((cfg.k, n_shells))
+        for t in range(cfg.k):
+            rec = [
+                ft_pairs[h][t][0] / jnp.maximum(ft_pairs[h][t][1], 1.0)
+                for h in (0, 1)
+            ]
+            curve = np.asarray(fsc_fn(rec[0], rec[1], n_shells * cfg.pf))
+            fsc_all[t] = curve[::cfg.pf][:n_shells]
+
+        self.model.set_fsc(fsc_all)
+        self.model.update_res(cfg.thres_report_fsc)
+
+        for h in (0, 1):
+            new_refs = []
+            for t in range(cfg.k):
+                f_grid, t_grid = ft_pairs[h][t]
+                vol = reconstruct(
+                    f_grid, t_grid, jnp.asarray(fsc_all[t], jnp.float32),
+                    cfg.size, cfg.pf, r_u,
+                    map_wiener=(not cfg.mode_2d), join_half=False,
+                )
+                new_refs.append(vol)
+            self.state[h].refs = jnp.stack(new_refs)
+
+        self.model.update_r(cfg.thres_cutoff_fsc)
+        self.model.update_search_type()
+
+        record["res_shell"] = int(self.model.res)
+        record["res_A"] = float(self.model.res_angstrom(cfg.thres_report_fsc))
+        record["elapsed_s"] = time.time() - t0
+        record["search_type_after"] = int(self.model.search_type)
+        self.round_records.append(record)
+        return record
+
+    def run(self, max_rounds: int | None = None) -> list[dict]:
+        cfg = self.cfg
+        n = max_rounds if max_rounds is not None else cfg.iter_max
+        for i in range(n):
+            self.run_round(i)
+            if self.model.search_type == SEARCH_TYPE_STOP:
+                break
+        return self.round_records
+
+    # -- exports ---------------------------------------------------------
+
+    def class_assignments(self) -> np.ndarray:
+        """Global class assignment array over all particles."""
+        n = sum(len(d.index) for d in self.data)
+        out = np.zeros(n, dtype=np.int64)
+        for h in (0, 1):
+            out[self.data[h].index] = np.asarray(self.state[h].cls)
+        return out
+
+    def class_averages(self) -> np.ndarray:
+        """Mean of hemisphere references per class (2D stacks / 3D maps)."""
+        return np.asarray((self.state[0].refs + self.state[1].refs) / 2)

@@ -13,15 +13,15 @@ import jax.numpy as jnp
 
 
 @lru_cache(maxsize=64)
-def freq_norm(size: int, ndim: int) -> jax.Array:
-    """|f| in cycles/pixel over a centered grid."""
+def freq_norm(size: int, ndim: int) -> np.ndarray:
+    """|f| in cycles/pixel over a centered grid (numpy: trace-safe cache)."""
     c = size // 2
     k = (np.arange(size) - c) / size
     if ndim == 2:
         ky, kx = np.meshgrid(k, k, indexing="ij")
-        return jnp.asarray(np.sqrt(kx * kx + ky * ky), dtype=jnp.float32)
+        return np.sqrt(kx * kx + ky * ky).astype(np.float32)
     kz, ky, kx = np.meshgrid(k, k, k, indexing="ij")
-    return jnp.asarray(np.sqrt(kx * kx + ky * ky + kz * kz), dtype=jnp.float32)
+    return np.sqrt(kx * kx + ky * ky + kz * kz).astype(np.float32)
 
 
 def b_factor_filter(ft: jax.Array, b_factor) -> jax.Array:

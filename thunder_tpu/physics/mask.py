@@ -21,14 +21,18 @@ GEN_MASK_GAP = 0.05        # include/Functions/Mask.h:33
 
 
 @lru_cache(maxsize=64)
-def radial_grid(size: int, ndim: int) -> jax.Array:
-    """Distance-from-origin over an FFT-layout grid (wrapped coords)."""
+def radial_grid(size: int, ndim: int) -> np.ndarray:
+    """Distance-from-origin over an FFT-layout grid (wrapped coords).
+
+    Returns numpy (not jnp) so the cached constant is safe to reuse
+    across jit traces.
+    """
     k = np.minimum(np.arange(size), size - np.arange(size)).astype(np.float32)
     if ndim == 2:
         ky, kx = np.meshgrid(k, k, indexing="ij")
-        return jnp.asarray(np.sqrt(kx * kx + ky * ky))
+        return np.sqrt(kx * kx + ky * ky)
     kz, ky, kx = np.meshgrid(k, k, k, indexing="ij")
-    return jnp.asarray(np.sqrt(kx * kx + ky * ky + kz * kz))
+    return np.sqrt(kx * kx + ky * ky + kz * kz)
 
 
 def soft_mask_weight(size: int, ndim: int, r: float, ew: float) -> jax.Array:

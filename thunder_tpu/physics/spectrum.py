@@ -36,7 +36,10 @@ def res_a2p(res_a, image_size: int, pixel_size: float):
 
 @lru_cache(maxsize=64)
 def _shell_geometry(size: int, ndim: int):
-    """(shell_index int32 array, halfspace bool mask) for a centered grid."""
+    """(shell_index int32 array, halfspace bool mask) for a centered grid.
+
+    Numpy outputs: cached constants must be trace-safe.
+    """
     c = size // 2
     k = np.arange(size) - c
     if ndim == 2:
@@ -47,7 +50,7 @@ def _shell_geometry(size: int, ndim: int):
         r = np.sqrt(kx * kx + ky * ky + kz * kz)
     u = np.rint(r).astype(np.int32)
     half = (kx >= 0) | (kx == -c)
-    return jnp.asarray(u), jnp.asarray(half)
+    return u, half
 
 
 def shell_sum(values: jax.Array, size: int, ndim: int, n_shells: int,

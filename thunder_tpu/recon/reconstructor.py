@@ -52,26 +52,42 @@ from thunder_tpu.physics.spectrum import _shell_geometry
 
 
 @lru_cache(maxsize=32)
-def _pad_shell_index(big: int, ndim: int) -> jax.Array:
+def _pad_shell_index(big: int, ndim: int) -> np.ndarray:
     u, _ = _shell_geometry(big, ndim)
     return u
 
 
+def _mkb_rl_np(r: np.ndarray, a: float, alpha: float) -> np.ndarray:
+    """Numpy mirror of physics.kernels.mkb_rl (order 0)."""
+    from scipy.special import i0 as i0_np
+
+    u = 2 * np.pi * a * r
+    v = np.sqrt(np.abs(alpha * alpha - u * u))
+    v = np.maximum(v, 1e-12)
+    w = (2 * np.pi) ** 1.5 * a**3 / i0_np(alpha) / v**1.5
+    i32 = np.sqrt(2 / (np.pi * v)) * (np.cosh(v) - np.sinh(v) / v)
+    j32 = np.sqrt(2 / (np.pi * v)) * (np.sin(v) / v - np.cos(v))
+    return w * np.where(u <= alpha, i32, j32)
+
+
 @lru_cache(maxsize=32)
-def _mkb_window(big: int, ndim: int, a: float, alpha: float) -> jax.Array:
+def _mkb_window(big: int, ndim: int, a: float, alpha: float) -> np.ndarray:
     """Real-space MKB window over the padded FFT-layout grid, normalized
-    to 1 at the origin (convoluteC, Reconstructor.cpp:2595-2674)."""
+    to 1 at the origin (convoluteC, Reconstructor.cpp:2595-2674).
+    Numpy: trace-safe cached constant."""
     r = radial_grid(big, ndim) / big
-    nf = mkb_rl(jnp.asarray(0.0), a, alpha)
-    return (mkb_rl(r, a, alpha) / nf).astype(jnp.float32)
+    nf = _mkb_rl_np(np.asarray(1e-8), a, alpha)
+    return (_mkb_rl_np(r, a, alpha) / nf).astype(np.float32)
 
 
 @lru_cache(maxsize=32)
-def _tik_correction(size: int, ndim: int, pf: int) -> jax.Array:
+def _tik_correction(size: int, ndim: int, pf: int) -> np.ndarray:
     """Real-space trilinear kernel FT over the unpadded FFT-layout grid
     (final correction, Reconstructor.cpp:1784-1818)."""
     r = radial_grid(size, ndim) / (pf * size)
-    return tik_rl(r).astype(jnp.float32)
+    x = np.pi * r
+    s = np.where(x == 0, 1.0, np.sin(np.maximum(x, 1e-30)) / np.maximum(x, 1e-30))
+    return (s * s).astype(np.float32)
 
 
 def wiener_filter_t(t_grid: jax.Array, fsc_curve: jax.Array, pf: int,
@@ -142,7 +158,7 @@ def balance_weights(t_grid: jax.Array, pf: int, max_radius: int,
 
 
 @lru_cache(maxsize=32)
-def _quad_inside(big: int, ndim: int, radius: float) -> jax.Array:
+def _quad_inside(big: int, ndim: int, radius: float) -> np.ndarray:
     c = big // 2
     k = np.arange(big) - c
     if ndim == 2:
@@ -151,7 +167,7 @@ def _quad_inside(big: int, ndim: int, radius: float) -> jax.Array:
     else:
         kz, ky, kx = np.meshgrid(k, k, k, indexing="ij")
         q = kx * kx + ky * ky + kz * kz
-    return jnp.asarray(q < radius**2)
+    return q < radius**2
 
 
 def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
