@@ -1,0 +1,134 @@
+"""Main E-M driver CLI — the rebuild of appsrc/thunder.cpp.
+
+    python -m thunder_tpu.cli.thunder demo_2D.json
+
+Reads the reference-compatible JSON config, the .thu metadata and the
+particle stacks, runs the E-M loop, and writes the reference's per-round
+artifacts: FSC_Round_xxx.txt, Class_Info_Round_xxx.txt, Meta_Round_xxx.thu
+and Reference_xxx_Round_xxx maps (docs/README.md:246-260).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+log = logging.getLogger("thunder")
+
+
+def save_round_artifacts(opt, thu, out_dir: str, i_round: int):
+    from thunder_tpu.io.mrc import write_mrc
+    from thunder_tpu.io.thu import write_thu
+
+    cfg = opt.cfg
+    fsc = opt.model.fsc
+    with open(os.path.join(out_dir, f"FSC_Round_{i_round:03d}.txt"), "w") as f:
+        for i in range(1, fsc.shape[1]):
+            res_a = cfg.size * cfg.pixel_size / i
+            f.write(f"{i:05d} {res_a:10.6f} "
+                    + " ".join(f"{fsc[t, i]:10.6f}" for t in range(cfg.k))
+                    + "\n")
+
+    cls = opt.class_assignments()
+    with open(os.path.join(out_dir, f"Class_Info_Round_{i_round:03d}.txt"), "w") as f:
+        for t in range(cfg.k):
+            occ = float((cls == t).mean()) if len(cls) else 0.0
+            from thunder_tpu.physics import spectrum
+
+            res_shell = spectrum.res_p(fsc[t], cfg.thres_report_fsc, 1, 1)
+            res_a = (cfg.size * cfg.pixel_size / res_shell
+                     if res_shell > 0 else float("inf"))
+            f.write(f"{t:6d} {occ:10.6f} {res_a:10.6f}\n")
+
+    if cfg.save_thu_each_iter and thu is not None:
+        from thunder_tpu.io.thu import write_thu
+
+        out = opt.export_thu(thu)
+        write_thu(os.path.join(out_dir, f"Meta_Round_{i_round:03d}.thu"), out)
+
+    if cfg.save_refs_each_iter:
+        if cfg.mode_2d:
+            write_mrc(
+                os.path.join(out_dir, f"Reference_Round_{i_round:03d}.mrcs"),
+                opt.class_averages(), cfg.pixel_size, is_stack=True,
+            )
+        else:
+            for t in range(cfg.k):
+                for h, tag in ((0, "A"), (1, "B")):
+                    write_mrc(
+                        os.path.join(
+                            out_dir,
+                            f"Reference_{t:03d}_{tag}_Round_{i_round:03d}.mrc",
+                        ),
+                        np.asarray(opt.state[h].refs[t]), cfg.pixel_size,
+                    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="thunder")
+    p.add_argument("config", help="JSON config (reference-compatible)")
+    p.add_argument("--max-rounds", type=int, default=None)
+    a = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+    from thunder_tpu.config import ThunderConfig
+    from thunder_tpu.io.loader import load_images
+    from thunder_tpu.io.mrc import read_mrc
+    from thunder_tpu.io.thu import read_thu
+    from thunder_tpu.optimiser import Optimiser
+    from thunder_tpu.physics.ctf import ctf_params
+
+    cfg = ThunderConfig.from_json(a.config)
+    out_dir = cfg.dst_prefix or "./"
+    os.makedirs(out_dir, exist_ok=True)
+
+    log.info("reading %s", cfg.db)
+    thu = read_thu(cfg.db)
+    log.info("loading %d particles", len(thu))
+    # Database::shuffle (Config.h:53): random image order decorrelates
+    # the hemisphere split from acquisition order
+    rng = np.random.default_rng(cfg.seed)
+    perm = rng.permutation(len(thu))
+    thu = thu.select(perm)
+    images = load_images(thu, cfg.par_prefix)
+
+    ctf = ctf_params(
+        thu.voltage, thu.defocus_u, thu.defocus_v, thu.defocus_theta,
+        thu.cs, thu.amplitude_contrast, thu.phase_shift,
+    )
+    init_refs = None
+    if cfg.init_model:
+        init_refs, _ = read_mrc(cfg.init_model)
+
+    opt = Optimiser(cfg, images, ctf, thu.group_id - 1, init_refs=init_refs)
+
+    n_rounds = a.max_rounds if a.max_rounds is not None else cfg.iter_max
+    for i in range(n_rounds):
+        rec = opt.run_round(i)
+        log.info(
+            "round %d: r=%d searchType=%d->%d phases=%s res=%.2fA (%.1fs)",
+            i, rec["r"], rec["search_type"], rec["search_type_after"],
+            rec["n_phases"], rec["res_A"], rec["elapsed_s"],
+        )
+        save_round_artifacts(opt, thu, out_dir, i)
+        from thunder_tpu.model import SEARCH_TYPE_STOP
+
+        if opt.model.search_type == SEARCH_TYPE_STOP:
+            log.info("search finished at round %d", i)
+            break
+
+    log.info("final resolution: %.2f A",
+             opt.model.res_angstrom(cfg.thres_report_fsc))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,7 +97,7 @@ class ThuTable:
         t = ThuTable(
             voltage=np.full(n, voltage), defocus_u=z(), defocus_v=z(),
             defocus_theta=z(), cs=z(), amplitude_contrast=z(), phase_shift=z(),
-            particle_path=[""] * n, micrograph_path=[""] * n,
+            particle_path=["-"] * n, micrograph_path=["-"] * n,
             coord_x=z(), coord_y=z(), group_id=np.ones(n, np.int64),
             class_id=np.zeros(n, np.int64),
             quat=np.tile(np.array([1.0, 0, 0, 0]), (n, 1)),
@@ -152,7 +152,7 @@ def write_thu(path: str, t: ThuTable) -> None:
                 f"{t.defocus_v[i]:18.9f}", f"{t.defocus_theta[i]:18.9f}",
                 f"{t.cs[i]:18.9f}", f"{t.amplitude_contrast[i]:18.9f}",
                 f"{t.phase_shift[i]:18.9f}",
-                t.particle_path[i], t.micrograph_path[i],
+                t.particle_path[i] or "-", t.micrograph_path[i] or "-",
                 f"{t.coord_x[i]:18.9f}", f"{t.coord_y[i]:18.9f}",
                 f"{t.group_id[i]:6d}", f"{t.class_id[i]:6d}",
                 f"{t.quat[i, 0]:18.9f}", f"{t.quat[i, 1]:18.9f}",

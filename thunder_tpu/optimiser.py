@@ -672,3 +672,26 @@ class Optimiser:
     def class_averages(self) -> np.ndarray:
         """Mean of hemisphere references per class (2D stacks / 3D maps)."""
         return np.asarray((self.state[0].refs + self.state[1].refs) / 2)
+
+    def export_thu(self, thu):
+        """Write current particle-filter compression back into a ThuTable
+        (saveDatabase, Optimiser.cpp:8250-8416)."""
+        import copy
+
+        out = copy.deepcopy(thu)
+        for h in (0, 1):
+            s = self.state[h]
+            idx = self.data[h].index
+            out.class_id[idx] = np.asarray(s.cls)
+            out.quat[idx] = np.asarray(s.par.top_r)
+            out.k1[idx] = np.asarray(s.par.k1)
+            out.k2[idx] = np.asarray(s.par.k2)
+            out.k3[idx] = np.asarray(s.par.k3)
+            out.trans[idx] = np.asarray(s.par.top_t)
+            out.std_trans[idx] = np.stack(
+                [np.asarray(s.par.s0), np.asarray(s.par.s1)], axis=1
+            )
+            out.defocus_factor[idx] = np.asarray(s.par.top_d)
+            out.std_defocus_factor[idx] = np.asarray(s.par.s_d)
+            out.score[idx] = np.asarray(s.par.score)
+        return out
