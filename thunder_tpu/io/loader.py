@@ -17,20 +17,33 @@ def load_images(thu: ThuTable, prefix: str = "",
                 indices=None) -> np.ndarray:
     """Load (a subset of) the particles named in a ThuTable.
 
-    Returns (n, size, size) float32 in internal FFT layout.
+    Returns (n, size, size) float32 in internal FFT layout.  Uses the
+    native multithreaded reader (io/native.py) when available, grouped
+    by stack file; falls back to mmap reads.
     """
+    from thunder_tpu.io import native
+
     if indices is None:
-        indices = range(len(thu))
-    files: dict[str, MrcFile] = {}
-    out = []
-    for i in indices:
+        indices = list(range(len(thu)))
+    else:
+        indices = list(indices)
+
+    # group by stack file so each file is visited once
+    per_file: dict[str, list[tuple[int, int]]] = {}
+    for pos, i in enumerate(indices):
         fname, slc = parse_stack_ref(thu.particle_path[i])
-        path = prefix + fname
-        if path not in files:
-            files[path] = MrcFile(path)
-        f = files[path]
-        if slc is None:
-            out.append(f.read_slice(0))
+        per_file.setdefault(prefix + fname, []).append(
+            (pos, 0 if slc is None else slc - 1)  # @-indexing is 1-based
+        )
+
+    out = [None] * len(indices)
+    use_native = native.available()
+    for path, entries in per_file.items():
+        slices = [s for _, s in entries]
+        if use_native:
+            imgs = native.read_mrc_slices_native(path, slices)
         else:
-            out.append(f.read_slice(slc - 1))  # @-indexing is 1-based
+            imgs = MrcFile(path).read_slices(slices)
+        for (pos, _), img in zip(entries, imgs):
+            out[pos] = img
     return np.stack(out)
