@@ -615,31 +615,50 @@ class Optimiser:
             pairs, r_u = self.reconstruct_round(h)
             ft_pairs.append(pairs)
 
-        n_shells = cfg.max_r
-        fsc_all = np.zeros((cfg.k, n_shells))
-        for t in range(cfg.k):
-            rec = [
-                ft_pairs[h][t][0] / jnp.maximum(ft_pairs[h][t][1], 1.0)
-                for h in (0, 1)
-            ]
-            curve = np.asarray(fsc_fn(rec[0], rec[1], n_shells * cfg.pf))
-            fsc_all[t] = curve[::cfg.pf][:n_shells]
-
-        self.model.set_fsc(fsc_all)
-        self.model.update_res(cfg.thres_report_fsc)
-
+        # reconstruct with the PREVIOUS round's FSC (the reference's
+        # Model holds _FSC from compareTwoHemispheres of the prior
+        # round and feeds it to Reconstructor::reconstruct)
+        fsc_prev = self.model.fsc
         for h in (0, 1):
             new_refs = []
             for t in range(cfg.k):
                 f_grid, t_grid = ft_pairs[h][t]
                 vol = reconstruct(
-                    f_grid, t_grid, jnp.asarray(fsc_all[t], jnp.float32),
+                    f_grid, t_grid,
+                    jnp.asarray(fsc_prev[t % fsc_prev.shape[0]], jnp.float32),
                     cfg.size, cfg.pf, r_u,
                     map_wiener=(not cfg.mode_2d), join_half=False,
                 )
                 new_refs.append(vol)
             self.state[h].refs = jnp.stack(new_refs)
 
+        # golden-standard FSC on the reconstructed references
+        # (Model::compareTwoHemispheres, Model.cpp:307-851) + averaging
+        # of the halves below the 0.95-crossing shell
+        n_shells = cfg.max_r
+        fsc_all = np.zeros((cfg.k, n_shells))
+        fftc = (lambda x: jnp.fft.fftshift(jnp.fft.fftn(x, axes=tuple(range(x.ndim)))))
+        from thunder_tpu.physics.spectrum import _shell_geometry, res_p as res_p_fn
+
+        for t in range(cfg.k):
+            fa = fftc(self.state[0].refs[t])
+            fb = fftc(self.state[1].refs[t])
+            fsc_all[t] = np.asarray(fsc_fn(fa, fb, n_shells))
+            r_avg = res_p_fn(fsc_all[t], 0.95, pf=1, r_l=1)
+            if r_avg > 1:
+                u, _ = _shell_geometry(cfg.size, 2 if cfg.mode_2d else 3)
+                sel = jnp.asarray(u <= r_avg)
+                avg_ft = (fa + fb) / 2
+                fa2 = jnp.where(sel, avg_ft, fa)
+                fb2 = jnp.where(sel, avg_ft, fb)
+                ifftc = lambda x: jnp.real(
+                    jnp.fft.ifftn(jnp.fft.ifftshift(x), axes=tuple(range(x.ndim)))
+                )
+                self.state[0].refs = self.state[0].refs.at[t].set(ifftc(fa2))
+                self.state[1].refs = self.state[1].refs.at[t].set(ifftc(fb2))
+
+        self.model.set_fsc(fsc_all)
+        self.model.update_res(cfg.thres_report_fsc)
         self.model.update_r(cfg.thres_cutoff_fsc)
         self.model.update_search_type()
 
