@@ -213,6 +213,64 @@ def translate_phases_view(i_col, i_row, size, trans):
     return jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
 
 
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
+                                   "trans_s", "pixel_size"))
+def _phase_step_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
+                    dat_s, s_pack, a_term, ctf_base, size: int, pf: int,
+                    mode: int, pf_small: float, trans_s: float,
+                    pixel_size: float):
+    """CTF-search phase: additionally perturbs / evaluates / resamples
+    the defocus-factor axis (SEARCH_TYPE_CTF, Optimiser.cpp:1252-1271
+    on-the-fly CTF re-evaluation per defocus support point).
+
+    dat_s  : (l, p) complex = sigRcp * dat
+    s_pack : (l, p) float   = sigRcp
+    ctf_base: CtfParams fields (l,) for the per-support re-evaluation.
+    """
+    from thunder_tpu.ops.likelihood import log_dvp_local_ctf
+    from thunder_tpu.physics.ctf import ctf_packed_scaled
+
+    mode_2d = mode == pt.MODE_2D
+    kr, kt2, kdp, krs, kts, kds = jax.random.split(key, 6)
+    par = pt.perturb_r(kr, par, pf_small, mode)
+    par = pt.perturb_t(kt2, par, pf_small, trans_s)
+    par = pt.perturb_d(kdp, par, pf_small)
+
+    rings = _RingsView(i_col, i_row, size)
+    tra = translate_phases_view(i_col, i_row, size, par.t)
+    if mode_2d:
+        rot = rotate2d_from_unit(par.r[..., :2])
+        project = project_2d
+    else:
+        rot = rotate3d(par.r)
+        project = project_3d
+
+    k_cls = proj_stack.shape[0]
+    pri_pc = jnp.stack(
+        [project(Projectee(proj_stack[t], size, pf, size // 2 - 1), rot, rings)
+         for t in range(k_cls)], axis=0,
+    )
+    pri = pri_pc[cls, jnp.arange(cls.shape[0])]
+
+    ctf_d = ctf_packed_scaled(ctf_base, i_col, i_row, size, pixel_size, par.d)
+    dvp = log_dvp_local_ctf(dat_s, s_pack, ctf_d, pri, tra, a_term)  # (l,d,r,t)
+    base = jnp.max(dvp, axis=(1, 2, 3), keepdims=True)
+    w = jnp.exp(dvp - base)
+    u_r = jnp.einsum("ldrt,lt,ld->lr", w, par.w_t, par.w_d)
+    u_t = jnp.einsum("ldrt,lr,ld->lt", w, par.w_r, par.w_d)
+    u_d = jnp.einsum("ldrt,lr,lt->ld", w, par.w_r, par.w_t)
+    par = par._replace(u_r=u_r, u_t=u_t, u_d=u_d)
+    par = pt.clip_u_r(par, mode)
+    par = pt.resample_r(krs, par, par.r.shape[1])
+    par = pt.resample_t(kts, par, par.t.shape[1])
+    par = pt.resample_d(kds, par, par.d.shape[1])
+    par = pt.cal_vari_r(par, mode)
+    par = pt.cal_vari_t(par)
+    par = pt.cal_vari_d(par)
+    vari = (jnp.mean(par.k1), jnp.mean(par.s0), jnp.mean(par.s1))
+    return par, vari
+
+
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r", "n_group"))
 def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
                 top_r, top_t, group_id, sigma_prev, r_u,
@@ -251,12 +309,17 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
 def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
                   sym_mats, max_radius_pad, size: int, pf: int,
                   mode_2d: bool, n_sym: int):
-    """Translate-align + scatter-insert one class's images into (F, T)."""
+    """Translate-align + scatter-insert one class's images into (F, T).
+
+    ctf: (L, P) shared across draws, or (L, D, P) per-draw (defocus
+    refinement path).
+    """
     big = size * pf
     tra = translate_phases_view(i_col, i_row, size, trans)      # (L, D, P)
     dat_al = dat[:, None, :] * jnp.conj(tra)
-    vals = dat_al * (ctf * mask)[:, None, :] * w_l[:, None, None]
-    ctf2w = (ctf * ctf * mask)[:, None, :] * w_l[:, None, None]
+    ctf_d = ctf if ctf.ndim == 3 else ctf[:, None, :]
+    vals = dat_al * (ctf_d * mask) * w_l[:, None, None]
+    ctf2w = (ctf_d * ctf_d * mask) * w_l[:, None, None]
 
     if mode_2d:
         rot = rotate2d_from_unit(quats[..., :2])
@@ -493,6 +556,7 @@ class Optimiser:
 
     def local_phases(self, h: int, rings: PackedRings) -> int:
         cfg = self.cfg
+        d = self.data[h]
         s = self.state[h]
         dat_w, sctf2, a_term = self._pack_inputs(h, rings)
         proj_stack = _prepare_projectee_stack(
@@ -500,12 +564,24 @@ class Optimiser:
         )
 
         is_global = self.model.search_type == SEARCH_TYPE_GLOBAL
+        is_ctf = self.model.search_type == SEARCH_TYPE_CTF and cfg.c_search
         min_phase = (MIN_N_PHASE_PER_ITER_GLOBAL if is_global
                      else MIN_N_PHASE_PER_ITER_LOCAL)
         pf_small = (cfg.perturb_factor_s_global if is_global
-                    else (cfg.perturb_factor_s_ctf
-                          if self.model.search_type == SEARCH_TYPE_CTF
+                    else (cfg.perturb_factor_s_ctf if is_ctf
                           else cfg.perturb_factor_s_local))
+
+        if is_ctf:
+            # defocus refinement re-evaluates the CTF per support point
+            dat = extract_packed(d.ft_masked, rings)
+            sig = s.sigma[d.group_id[:, None], rings.i_sig[None, :]]
+            sig_rcp = sigma_to_sig_rcp(sig) * rings.mask
+            dat_s = sig_rcp.astype(jnp.complex64) * dat
+            # first CTF round: seed the defocus std (ctfRefineS)
+            if float(jnp.max(s.par.s_d)) == 0.0:
+                s.par = s.par._replace(
+                    s_d=jnp.full_like(s.par.s_d, cfg.ctf_refine_s)
+                )
 
         par = s.par
         n_no_dec = 0
@@ -513,11 +589,19 @@ class Optimiser:
         phase = 0
         for phase in range(MAX_N_PHASE_PER_ITER):
             self.key, sub = jax.random.split(self.key)
-            par, vari = _phase_step(
-                sub, par, s.cls, proj_stack, rings.i_col, rings.i_row,
-                dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
-                float(pf_small), float(cfg.trans_s),
-            )
+            if is_ctf:
+                par, vari = _phase_step_ctf(
+                    sub, par, s.cls, proj_stack, rings.i_col, rings.i_row,
+                    dat_s, sig_rcp, a_term, d.ctf_params, cfg.size, cfg.pf,
+                    self.mode, float(pf_small), float(cfg.trans_s),
+                    float(cfg.pixel_size),
+                )
+            else:
+                par, vari = _phase_step(
+                    sub, par, s.cls, proj_stack, rings.i_col, rings.i_row,
+                    dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
+                    float(pf_small), float(cfg.trans_s),
+                )
             k1, s0, s1 = (float(v) for v in vari)
             if phase + 1 >= min_phase and prev is not None:
                 pk1, ps0, ps1 = prev
@@ -554,6 +638,70 @@ class Optimiser:
             cfg.size, cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
         )
 
+    def refresh_scale(self, h: int, r_s: int | None = None,
+                      group: bool | None = None) -> jax.Array:
+        """Per-group intensity scale = sum Re(dat conj(ctf pri)) /
+        sum ctf^2 |pri|^2 over shells < r_s at the rank-1 pose
+        (refreshScale, Optimiser.cpp:5749-6063 + scaleDataVSPrior)."""
+        cfg = self.cfg
+        d = self.data[h]
+        s = self.state[h]
+        if group is None:
+            group = cfg.group_scl
+        if r_s is None:
+            r_s = max(2, min(int(self.model.r),
+                             cfg.res_a2p(cfg.sclCor_res)))
+        rings = pack_rings(cfg.size, r_s, 0)
+        dat = extract_packed(d.ft_ori, rings)
+        ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
+                         cfg.size, cfg.pixel_size)
+        proj_stack = _prepare_projectee_stack(
+            s.refs, cfg.size, cfg.pf, cfg.mode_2d
+        )
+        if cfg.mode_2d:
+            rot = rotate2d_from_unit(s.par.top_r[..., :2])
+            project = project_2d
+        else:
+            rot = rotate3d(s.par.top_r)
+            project = project_3d
+        pri_pc = jnp.stack(
+            [project(Projectee(proj_stack[t], cfg.size, cfg.pf,
+                               cfg.size // 2 - 1), rot[:, None], rings)[:, 0]
+             for t in range(cfg.k)], axis=0,
+        )
+        pri = pri_pc[s.cls, jnp.arange(s.cls.shape[0])]
+        tra = translate_phases(rings, s.par.top_t[:, None])[:, 0]
+        pri = pri * tra
+        xa = jnp.sum(jnp.real(dat * jnp.conj(pri)) * ctf * rings.mask, axis=-1)
+        aa = jnp.sum(jnp.abs(pri) ** 2 * ctf * ctf * rings.mask, axis=-1)
+        if group:
+            n_group = self.n_group
+            xa_g = jnp.zeros(n_group).at[d.group_id].add(xa)
+            aa_g = jnp.zeros(n_group).at[d.group_id].add(aa)
+            scale = xa_g / jnp.maximum(aa_g, 1e-30)
+        else:
+            scale = jnp.full(
+                (self.n_group,), jnp.sum(xa) / jnp.maximum(jnp.sum(aa), 1e-30)
+            )
+        return scale
+
+    def correct_scale(self, init: bool = False):
+        """Apply the refreshed scale: scale the references (init) or
+        divide the images + sigma (correctScale, Optimiser.cpp:5103-5143)."""
+        for h in (0, 1):
+            scale = self.refresh_scale(h)
+            if init:
+                s0 = scale[0]
+                self.state[h].refs = self.state[h].refs * s0
+            else:
+                d = self.data[h]
+                per_img = scale[d.group_id]
+                self.data[h] = d._replace(
+                    ft_masked=d.ft_masked / per_img[:, None, None],
+                    ft_ori=d.ft_ori / per_img[:, None, None],
+                )
+                self.state[h].sigma = self.state[h].sigma / (scale[:, None] ** 2)
+
     def reconstruct_round(self, h: int):
         cfg = self.cfg
         d = self.data[h]
@@ -567,8 +715,14 @@ class Optimiser:
 
         self.key, kd = jax.random.split(self.key)
         n_draw = min(cfg.m_reco, s.par.n_r * s.par.n_t)
-        quats, trans, _ = pt.draw_poses(kd, s.par, n_draw)
+        quats, trans, d_draw = pt.draw_poses(kd, s.par, n_draw)
         w_draw = 1.0 / n_draw
+
+        if cfg.c_search and self.model.search_type == SEARCH_TYPE_CTF:
+            from thunder_tpu.physics.ctf import ctf_packed_scaled
+
+            ctf = ctf_packed_scaled(d.ctf_params, rings.i_col, rings.i_row,
+                                    cfg.size, cfg.pixel_size, d_draw)
 
         if cfg.par_gra:
             score = s.par.score / jnp.maximum(jnp.max(s.par.score), 1e-12)
