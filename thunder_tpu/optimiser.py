@@ -401,6 +401,15 @@ class Optimiser:
         self.data: list[HemisphereData] = []
         self.state: list[HemisphereState] = []
         self.round_records: list[dict] = []
+        self.offset: list[jax.Array] = []
+        self._ref_mask = None
+        if cfg.perform_mask and cfg.mask_path:
+            from thunder_tpu.io.mrc import read_mrc
+
+            try:
+                self._ref_mask, _ = read_mrc(cfg.mask_path)
+            except FileNotFoundError:
+                self._ref_mask = None
 
         for h in (0, 1):
             sel = np.nonzero(hemi_of == h)[0]
@@ -436,6 +445,7 @@ class Optimiser:
                 HemisphereState(refs=jnp.asarray(refs), sigma=sigma,
                                 par=par, cls=cls)
             )
+            self.offset.append(jnp.zeros((len(sel), 2), jnp.float32))
 
     # ------------------------------------------------------------------
 
@@ -633,10 +643,134 @@ class Optimiser:
         )
         s.sigma = _sigma_step(
             dat, ctf, rings.mask, rings.i_col, rings.i_row, rings.i_sig,
-            proj_stack, s.cls, s.par.top_r, s.par.top_t, d.group_id,
-            s.sigma, jnp.asarray(cfg.max_r),
+            proj_stack, s.cls, s.par.top_r, s.par.top_t - self.offset[h],
+            d.group_id, s.sigma, jnp.asarray(cfg.max_r),
             cfg.size, cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
         )
+
+    def solvent_flatten(self, apply_mask: bool):
+        """Mask the references (solventFlatten, Optimiser.cpp:7768-7989;
+        default flags reduce it to reference masking with zero
+        background, OPTIMISER_SOLVENT_FLATTEN_MASK_ZERO)."""
+        cfg = self.cfg
+        from thunder_tpu.constants import EDGE_WIDTH_RL
+        from thunder_tpu.physics.mask import soft_mask_weight
+
+        nd = 2 if cfg.mode_2d else 3
+        if apply_mask and self._ref_mask is not None:
+            w = jnp.asarray(self._ref_mask)
+        else:
+            w = jnp.asarray(soft_mask_weight(
+                cfg.size, nd, cfg.mask_radius / cfg.pixel_size, EDGE_WIDTH_RL
+            ))
+        for h in (0, 1):
+            self.state[h].refs = self.state[h].refs * w[None]
+
+    def _refresh_masked(self, h: int):
+        """Rebuild the soft-masked spectra from offset-translated
+        originals (reMaskImg, Optimiser.cpp:6093-6149)."""
+        cfg = self.cfg
+        from thunder_tpu.constants import EDGE_WIDTH_RL
+        from thunder_tpu.ops.fourier import ifft2_centered, fft2_centered
+        from thunder_tpu.physics.mask import soft_mask_weight
+
+        d = self.data[h]
+        off = self.offset[h]
+        size = cfg.size
+        c = size // 2
+        k = jnp.arange(size, dtype=jnp.float32) - c
+        phase = (2 * jnp.pi / size) * (
+            k[None, None, :] * off[:, 0, None, None]
+            + k[None, :, None] * off[:, 1, None, None]
+        )
+        shifted = d.ft_ori * jnp.exp(-1j * phase).astype(jnp.complex64)
+        rl = ifft2_centered(shifted)
+        w = jnp.asarray(soft_mask_weight(
+            size, 2, cfg.mask_radius / cfg.pixel_size, EDGE_WIDTH_RL
+        ))
+        masked = rl * w[None]
+        self.data[h] = d._replace(
+            ft_masked=fft2_centered(masked).astype(jnp.complex64)
+        )
+
+    def re_centre_img(self, h: int):
+        """Accumulate the rank-1 translation into the per-image offset
+        and shift the particle cloud back (reCentreImg,
+        Optimiser.cpp:6065-6090).  Images themselves are not rewritten;
+        the offset enters the alignment as (t - offset) wherever the
+        original images are used."""
+        s = self.state[h]
+        tran = s.par.top_t
+        self.offset[h] = self.offset[h] - tran
+        s.par = s.par._replace(
+            t=s.par.t - tran[:, None, :],
+            top_t=s.par.top_t - tran,
+        )
+
+    def norm_correction(self):
+        """Scale images so residual noise power is uniform
+        (normCorrection, Optimiser.cpp:6201-6394): norm_l = ring-limited
+        |ori - ctf proj(rank1)|^2, images *= sqrt(median/norm_l)."""
+        cfg = self.cfg
+        r_norm = min(int(self.model.r),
+                     self.model.resolution_p(0.75))
+        r_norm = max(r_norm, cfg.r_low + 2)
+        rings = pack_rings(cfg.size, r_norm, cfg.r_low)
+        norms = []
+        for h in (0, 1):
+            d = self.data[h]
+            s = self.state[h]
+            dat = extract_packed(d.ft_ori, rings)
+            ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
+                             cfg.size, cfg.pixel_size)
+            proj_stack = _prepare_projectee_stack(
+                s.refs, cfg.size, cfg.pf, cfg.mode_2d
+            )
+            if cfg.mode_2d:
+                rot = rotate2d_from_unit(s.par.top_r[..., :2])
+                project = project_2d
+            else:
+                rot = rotate3d(s.par.top_r)
+                project = project_3d
+            pri_pc = jnp.stack(
+                [project(Projectee(proj_stack[t], cfg.size, cfg.pf,
+                                   cfg.size // 2 - 1), rot[:, None], rings)[:, 0]
+                 for t in range(cfg.k)], axis=0,
+            )
+            pri = pri_pc[s.cls, jnp.arange(s.cls.shape[0])]
+            eff_t = s.par.top_t - self.offset[h]
+            tra = translate_phases(rings, eff_t[:, None])[:, 0]
+            resid = dat - ctf * tra * pri
+            norms.append(jnp.sum(jnp.abs(resid) ** 2 * rings.mask, axis=-1))
+        med = float(jnp.median(jnp.concatenate(norms)))
+        for h in (0, 1):
+            d = self.data[h]
+            scale = jnp.sqrt(med / jnp.maximum(norms[h], 1e-30))
+            self.data[h] = d._replace(
+                ft_masked=d.ft_masked * scale[:, None, None],
+                ft_ori=d.ft_ori * scale[:, None, None],
+            )
+
+    def balance_classes(self):
+        """Reassign starved classes' references from well-populated ones
+        (refreshClassDistr + balanceClass, Optimiser.cpp:5484-5592;
+        threshold CLASS_BALANCE_FACTOR/k of the particles)."""
+        cfg = self.cfg
+        if cfg.k <= 1:
+            return []
+        cls = np.concatenate([np.asarray(self.state[h].cls) for h in (0, 1)])
+        distr = np.bincount(cls, minlength=cfg.k) / max(len(cls), 1)
+        thres = 0.05 / cfg.k  # CLASS_BALANCE_FACTOR (Optimiser.h:71)
+        heavy = int(np.argmax(distr))
+        reborn = []
+        for t in range(cfg.k):
+            if distr[t] < thres:
+                for h in (0, 1):
+                    self.state[h].refs = self.state[h].refs.at[t].set(
+                        self.state[h].refs[heavy]
+                    )
+                reborn.append(t)
+        return reborn
 
     def refresh_scale(self, h: int, r_s: int | None = None,
                       group: bool | None = None) -> jax.Array:
@@ -670,7 +804,8 @@ class Optimiser:
              for t in range(cfg.k)], axis=0,
         )
         pri = pri_pc[s.cls, jnp.arange(s.cls.shape[0])]
-        tra = translate_phases(rings, s.par.top_t[:, None])[:, 0]
+        eff_t = s.par.top_t - self.offset[h]
+        tra = translate_phases(rings, eff_t[:, None])[:, 0]
         pri = pri * tra
         xa = jnp.sum(jnp.real(dat * jnp.conj(pri)) * ctf * rings.mask, axis=-1)
         aa = jnp.sum(jnp.abs(pri) ** 2 * ctf * ctf * rings.mask, axis=-1)
@@ -716,6 +851,9 @@ class Optimiser:
         self.key, kd = jax.random.split(self.key)
         n_draw = min(cfg.m_reco, s.par.n_r * s.par.n_t)
         quats, trans, d_draw = pt.draw_poses(kd, s.par, n_draw)
+        # alignment against the ORIGINAL images: t - offset (the cloud
+        # tracks re-centred images; insertion reads ft_ori)
+        trans = trans - self.offset[h][:, None, :]
         w_draw = 1.0 / n_draw
 
         if cfg.c_search and self.model.search_type == SEARCH_TYPE_CTF:
@@ -762,6 +900,10 @@ class Optimiser:
         s0 = max(float(jnp.mean(self.state[h].par.s0)) for h in (0, 1))
         s1 = max(float(jnp.mean(self.state[h].par.s1)) for h in (0, 1))
         self.model.set_t_vari(s0, s1)
+
+        # maximization (Optimiser::maximization, Optimiser.cpp:3405-3559)
+        if i_round != 0 and self.model.search_type != SEARCH_TYPE_GLOBAL:
+            self.norm_correction()
 
         ft_pairs = []
         for h in (0, 1):
@@ -813,6 +955,25 @@ class Optimiser:
 
         self.model.set_fsc(fsc_all)
         self.model.update_res(cfg.thres_report_fsc)
+
+        # post-reconstruction housekeeping: class rebirth, reference
+        # masking, image re-centring (run, Optimiser.cpp:3813-4014,7514)
+        reborn = self.balance_classes()
+        if reborn:
+            record["reborn_classes"] = reborn
+        self.solvent_flatten(
+            cfg.perform_mask
+            and (cfg.global_mask
+                 or self.model.search_type != SEARCH_TYPE_GLOBAL)
+        )
+        # image re-centring (OPTIMISER_RECENTRE_IMAGE_EACH_ITERATION,
+        # Config.h:165; only outside global search, Optimiser.cpp:3804):
+        # fold the rank-1 shift into the offsets, rebuild masked spectra
+        if self.model.search_type != SEARCH_TYPE_GLOBAL:
+            for h in (0, 1):
+                self.re_centre_img(h)
+                self._refresh_masked(h)
+
         self.model.update_r(cfg.thres_cutoff_fsc)
         self.model.update_search_type()
 
