@@ -108,7 +108,8 @@ def main(argv=None):
     if cfg.init_model:
         init_refs, _ = read_mrc(cfg.init_model)
 
-    opt = Optimiser(cfg, images, ctf, thu.group_id - 1, init_refs=init_refs)
+    opt = Optimiser(cfg, images, ctf, thu.group_id - 1, init_refs=init_refs,
+                    resume_thu=thu if not cfg.g_search else None)
 
     n_rounds = a.max_rounds if a.max_rounds is not None else cfg.iter_max
     for i in range(n_rounds):
@@ -124,6 +125,39 @@ def main(argv=None):
         if opt.model.search_type == SEARCH_TYPE_STOP:
             log.info("search finished at round %d", i)
             break
+
+    log.info("final full-resolution reconstruction")
+    from thunder_tpu.io.mrc import write_mrc
+
+    final = opt.final_reconstruction()
+    if cfg.mode_2d:
+        write_mrc(os.path.join(out_dir, "Reference_Final.mrcs"), final,
+                  cfg.pixel_size, is_stack=True)
+    else:
+        for t in range(cfg.k):
+            write_mrc(os.path.join(out_dir, f"Reference_{t:03d}_Final.mrc"),
+                      final[t], cfg.pixel_size)
+            for h, tag in ((0, "A"), (1, "B")):
+                write_mrc(
+                    os.path.join(out_dir, f"Reference_{t:03d}_{tag}_Final.mrc"),
+                    np.asarray(opt.state[h].refs[t]), cfg.pixel_size,
+                )
+
+    if cfg.subtract and not cfg.mode_2d:
+        log.info("signal subtraction")
+        if opt._ref_mask is None:
+            log.warning("subtraction requested but no mask provided; skipped")
+        else:
+            sub_imgs = opt.save_subtract(opt._ref_mask)
+            stack_path = os.path.join(out_dir, "Subtract.mrcs")
+            write_mrc(stack_path, sub_imgs, cfg.pixel_size, is_stack=True)
+            from thunder_tpu.io.thu import write_thu
+
+            sub_thu = opt.export_thu(thu)
+            sub_thu.particle_path = [
+                f"{i + 1}@{stack_path}" for i in range(len(sub_thu))
+            ]
+            write_thu(os.path.join(out_dir, "Subtract.thu"), sub_thu)
 
     log.info("final resolution: %.2f A",
              opt.model.res_angstrom(cfg.thres_report_fsc))

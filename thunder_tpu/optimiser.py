@@ -378,7 +378,12 @@ class Optimiser:
                  ctf: CtfParams, group_id: np.ndarray,
                  init_refs: np.ndarray | None = None,
                  key: jax.Array | None = None,
-                 hemi_of: np.ndarray | None = None):
+                 hemi_of: np.ndarray | None = None,
+                 resume_thu=None):
+        """resume_thu: a ThuTable carrying saved poses; used when
+        cfg.g_search is False to rebuild each image's particle cloud
+        around its checkpointed pose (loadParticles, Optimiser.cpp:5312
+        + Particle::load)."""
         self.cfg = cfg
         self.key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         self.sym = Symmetry(cfg.sym) if not cfg.mode_2d else Symmetry("C1")
@@ -434,12 +439,25 @@ class Optimiser:
                     refs = np.repeat(refs[None], cfg.k, axis=0)
 
             self.key, sub = jax.random.split(self.key)
-            par = pt.init_particles(
-                sub, len(sel), cfg.n_rot_local, cfg.m_l_t,
-                cfg.m_l_d if cfg.c_search else 1, cfg.trans_s, self.mode,
-            )
-            self.key, sub = jax.random.split(self.key)
-            cls = jax.random.randint(sub, (len(sel),), 0, cfg.k)
+            n_d = cfg.m_l_d if cfg.c_search else 1
+            if resume_thu is not None and not cfg.g_search:
+                t = resume_thu
+                par = pt.from_thu(
+                    t.quat[sel], t.trans[sel], t.std_trans[sel],
+                    np.stack([t.k1[sel], t.k2[sel], t.k3[sel]], axis=1),
+                    t.defocus_factor[sel], t.std_defocus_factor[sel],
+                    cfg.n_rot_local, cfg.m_l_t, n_d, sub, self.mode,
+                )
+                cls = jnp.asarray(
+                    np.clip(t.class_id[sel], 0, cfg.k - 1).astype(np.int32)
+                )
+            else:
+                par = pt.init_particles(
+                    sub, len(sel), cfg.n_rot_local, cfg.m_l_t,
+                    n_d, cfg.trans_s, self.mode,
+                )
+                self.key, sub = jax.random.split(self.key)
+                cls = jax.random.randint(sub, (len(sel),), 0, cfg.k)
             self.data.append(data)
             self.state.append(
                 HemisphereState(refs=jnp.asarray(refs), sigma=sigma,
@@ -992,6 +1010,74 @@ class Optimiser:
             if self.model.search_type == SEARCH_TYPE_STOP:
                 break
         return self.round_records
+
+    def final_reconstruction(self) -> np.ndarray:
+        """Joint full-resolution reconstruction after the search stops
+        (run, Optimiser.cpp:4078-4129: setMaxRU + reconstructRef at
+        Nyquist with join-half Wiener).  Returns (K, ...) maps averaged
+        over hemispheres; per-hemisphere maps stay in self.state."""
+        cfg = self.cfg
+        saved_r = self.model.r
+        self.model.r = cfg.max_r - 3
+        ft_pairs = []
+        for h in (0, 1):
+            pairs, r_u = self.reconstruct_round(h)
+            ft_pairs.append(pairs)
+        self.model.r = saved_r
+
+        out = []
+        for t in range(cfg.k):
+            per_h = []
+            for h in (0, 1):
+                f_grid, t_grid = ft_pairs[h][t]
+                vol = reconstruct(
+                    f_grid, t_grid,
+                    jnp.asarray(self.model.fsc[t % self.model.fsc.shape[0]],
+                                jnp.float32),
+                    cfg.size, cfg.pf, r_u,
+                    map_wiener=(not cfg.mode_2d), join_half=True,
+                )
+                per_h.append(vol)
+                self.state[h].refs = self.state[h].refs.at[t].set(vol)
+            out.append(np.asarray((per_h[0] + per_h[1]) / 2))
+        return np.stack(out)
+
+    def save_subtract(self, mask: np.ndarray):
+        """Signal subtraction (saveSubtract, Optimiser.cpp:8418-...):
+        per particle, subtract ctf * proj(masked reference) at the
+        rank-1 pose from the original image.  Returns (n, size, size)
+        float32 real-space images in original particle order."""
+        cfg = self.cfg
+        from thunder_tpu.ops.fourier import ifft2_centered
+        from thunder_tpu.ops.projector import project_full_2d, project_full_3d
+
+        prep = (prepare_projectee_2d if cfg.mode_2d else prepare_projectee_3d)
+        project_full = project_full_2d if cfg.mode_2d else project_full_3d
+        n_total = sum(len(d.index) for d in self.data)
+        out = np.zeros((n_total, cfg.size, cfg.size), np.float32)
+        w = jnp.asarray(mask)
+        for h in (0, 1):
+            d = self.data[h]
+            s = self.state[h]
+            masked_refs = s.refs * w[None]
+            projs = [prep(masked_refs[t], cfg.pf) for t in range(cfg.k)]
+            if cfg.mode_2d:
+                rot = rotate2d_from_unit(s.par.top_r[..., :2])
+            else:
+                rot = rotate3d(s.par.top_r)
+            eff_t = s.par.top_t - self.offset[h]
+            from thunder_tpu.physics.ctf import ctf_image
+
+            ctf_full = ctf_image(d.ctf_params, cfg.size, cfg.pixel_size)
+            for i in range(len(d.index)):
+                t_cls = int(s.cls[i])
+                pri = project_full(projs[t_cls], rot[i])
+                from thunder_tpu.ops.fourier import translate_ft
+
+                pri = translate_ft(pri, eff_t[i, 0], eff_t[i, 1])
+                diff = d.ft_ori[i] - ctf_full[i] * pri
+                out[d.index[i]] = np.asarray(ifft2_centered(diff))
+        return out
 
     # -- exports ---------------------------------------------------------
 
