@@ -117,6 +117,70 @@ def _global_block(proj_ft, rot_blk, i_col, i_row, dat_w, sctf2, a_term,
     return new_base, scale, jnp.sum(w, axis=(1, 2)), jnp.sum(w, axis=2), jnp.sum(w, axis=1)
 
 
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d"))
+def _global_search(proj_stack, rot_blocks, i_col, i_row, dat_w, sctf2,
+                   a_term, tra, size: int, pf: int, mode_2d: bool):
+    """The whole scanned global search as one device program.
+
+    rot_blocks: (n_blocks, block, d, d) rotation grid; the flash-
+    attention-style scan keeps the running per-image baseline and the
+    wC/wR/wT marginals across (class x rotation-block) steps
+    (Optimiser.cpp:756-914's streaming log-sum-exp, one XLA program
+    instead of K x n_blocks dispatches).
+    """
+    k_cls = proj_stack.shape[0]
+    n_blocks, block = rot_blocks.shape[:2]
+    n_img = dat_w.shape[0]
+    n_trans = tra.shape[0]
+    project = project_2d if mode_2d else project_3d
+    rings = _RingsView(i_col, i_row, size)
+
+    def scan_class_dense(carry, proj_ft):
+        baseline, w_c, w_t_all, w_r_all, i_class = carry
+        proj = Projectee(proj_ft, size, pf, size // 2 - 1)
+
+        def scan_block(carry, inp):
+            rot_blk, b_idx = inp
+            baseline, w_c, w_r_all, w_t_all = carry
+            pri = project(proj, rot_blk, rings)
+            dvp = log_dvp_block(dat_w, sctf2, pri, tra, a_term)
+            blk_max = jnp.max(dvp, axis=(1, 2))
+            new_base = jnp.maximum(baseline, blk_max)
+            scale = jnp.where(jnp.isfinite(baseline),
+                              jnp.exp(baseline - new_base), 0.0)
+            w = jnp.exp(dvp - new_base[:, None, None])
+            w_c = w_c * scale[:, None]
+            w_r_all = w_r_all * scale[None, :, None]
+            w_t_all = w_t_all * scale[None, :, None]
+            w_c = w_c.at[:, i_class].add(jnp.sum(w, axis=(1, 2)))
+            w_r_cls = jax.lax.dynamic_slice(
+                w_r_all, (i_class, 0, b_idx * block), (1, n_img, block)
+            )[0]
+            w_r_all = jax.lax.dynamic_update_slice(
+                w_r_all, (w_r_cls + jnp.sum(w, axis=2))[None],
+                (i_class, 0, b_idx * block),
+            )
+            w_t_all = w_t_all.at[i_class].add(jnp.sum(w, axis=1))
+            return (new_base, w_c, w_r_all, w_t_all), None
+
+        (baseline, w_c, w_r_all, w_t_all), _ = jax.lax.scan(
+            scan_block,
+            (baseline, w_c, w_r_all, w_t_all),
+            (rot_blocks, jnp.arange(n_blocks)),
+        )
+        return (baseline, w_c, w_t_all, w_r_all, i_class + 1), None
+
+    baseline = jnp.full((n_img,), -jnp.inf, jnp.float32)
+    w_c = jnp.zeros((n_img, k_cls), jnp.float32)
+    w_r = jnp.zeros((k_cls, n_img, n_blocks * block), jnp.float32)
+    w_t = jnp.zeros((k_cls, n_img, n_trans), jnp.float32)
+    (baseline, w_c, w_t, w_r, _), _ = jax.lax.scan(
+        scan_class_dense, (baseline, w_c, w_t, w_r, jnp.zeros((), jnp.int32)),
+        proj_stack,
+    )
+    return w_c, w_r, w_t
+
+
 class _RingsView(NamedTuple):
     """Minimal PackedRings stand-in usable inside jit (static size)."""
 
@@ -163,12 +227,11 @@ def _adopt_global_jit(key, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d,
     return par, cls, w_c_norm
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small", "trans_s"))
-def _phase_step(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
+def _phase_body(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
                 dat_w, sctf2, a_term, size: int, pf: int, mode: int,
                 pf_small: float, trans_s: float):
     """One particle-filter phase: perturb -> evaluate -> clip -> resample
-    -> variance inference (Optimiser.cpp:1183-1614)."""
+    -> variance inference (Optimiser.cpp:1183-1614).  Traced helper."""
     mode_2d = mode == pt.MODE_2D
     kr, kt2, krs, kts = jax.random.split(key, 4)
     par = pt.perturb_r(kr, par, pf_small, mode)
@@ -203,6 +266,63 @@ def _phase_step(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     par = pt.cal_vari_t(par)
     vari = (jnp.mean(par.k1), jnp.mean(par.s0), jnp.mean(par.s1))
     return par, vari
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small", "trans_s"))
+def _phase_step(key, par, cls, proj_stack, i_col, i_row, dat_w, sctf2,
+                a_term, size: int, pf: int, mode: int, pf_small: float,
+                trans_s: float):
+    return _phase_body(key, par, cls, proj_stack, i_col, i_row, dat_w,
+                       sctf2, a_term, size, pf, mode, pf_small, trans_s)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
+                                   "trans_s", "min_phase", "max_phase"))
+def _phase_loop(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
+                dat_w, sctf2, a_term, size: int, pf: int, mode: int,
+                pf_small: float, trans_s: float, min_phase: int,
+                max_phase: int):
+    """The whole adaptive phase loop as ONE device program: a bounded
+    while_loop with the variance-stall stopping rule
+    (Optimiser.cpp:1510-1614; PARTICLE_FILTER_DECREASE_FACTOR 0.95,
+    N_PHASE_WITH_NO_VARI_DECREASE 1).  Removes the per-phase
+    host-device sync of the naive driver loop — the dominant cost on a
+    remote-dispatch TPU."""
+    f = PARTICLE_FILTER_DECREASE_FACTOR
+    big = jnp.asarray(jnp.finfo(jnp.float32).max)
+
+    def cond(state):
+        _, _, phase, n_no_dec, _ = state
+        return jnp.logical_and(
+            phase < max_phase,
+            jnp.logical_or(phase < min_phase,
+                           n_no_dec < N_PHASE_WITH_NO_VARI_DECREASE),
+        )
+
+    def body(state):
+        key, par, phase, n_no_dec, prev = state
+        key, sub = jax.random.split(key)
+        par, vari = _phase_body(sub, par, cls, proj_stack, i_col, i_row,
+                                dat_w, sctf2, a_term, size, pf, mode,
+                                pf_small, trans_s)
+        k1, s0, s1 = vari
+        pk1, ps0, ps1 = prev
+        decreased = jnp.logical_or(
+            k1 < pk1 * f, jnp.logical_or(s0 < ps0 * f, s1 < ps1 * f)
+        )
+        # stalls only count once past the minimum phase count
+        # (Optimiser.cpp:1510: the check sits inside `phase >= min`)
+        n_no_dec = jnp.where(
+            phase + 1 >= min_phase,
+            jnp.where(decreased, 0, n_no_dec + 1),
+            0,
+        )
+        return key, par, phase + 1, n_no_dec, (k1, s0, s1)
+
+    state = (key, par, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+             (big, big, big))
+    _, par, phase, _, _ = jax.lax.while_loop(cond, body, state)
+    return par, phase
 
 
 def translate_phases_view(i_col, i_row, size, trans):
@@ -544,27 +664,12 @@ class Optimiser:
         block = min(_ROT_BLOCK, n_rot)
         n_blocks = (n_rot + block - 1) // block
 
-        baseline = jnp.full((n_img,), -jnp.inf, jnp.float32)
-        w_c = jnp.zeros((n_img, cfg.k), jnp.float32)
-        w_r = jnp.zeros((cfg.k, n_img, n_rot), jnp.float32)
-        w_t = jnp.zeros((cfg.k, n_img, n_trans), jnp.float32)
-
-        for t in range(cfg.k):
-            for b in range(n_blocks):
-                off = b * block
-                new_base, scale, d_wc, d_wr, d_wt = _global_block(
-                    proj_stack[t], rot[off:off + block], rings.i_col,
-                    rings.i_row, dat_w, sctf2, a_term, tra, baseline,
-                    cfg.size, cfg.pf, cfg.mode_2d,
-                )
-                baseline = new_base
-                w_c = w_c * scale[:, None]
-                w_r = w_r * scale[None, :, None]
-                w_t = w_t * scale[None, :, None]
-                w_c = w_c.at[:, t].add(d_wc)
-                w_r = w_r.at[t, :, off:off + block].add(d_wr)
-                w_t = w_t.at[t].add(d_wt)
-
+        d_rot = 2 if cfg.mode_2d else 3
+        rot_blocks = rot.reshape(n_blocks, block, d_rot, d_rot)
+        w_c, w_r, w_t = _global_search(
+            proj_stack, rot_blocks, rings.i_col, rings.i_row,
+            dat_w, sctf2, a_term, tra, cfg.size, cfg.pf, cfg.mode_2d,
+        )
         return dict(w_c=w_c, w_r=w_r, w_t=w_t, quats=quats, trans=trans)
 
     def adopt_global(self, h: int, g: dict):
@@ -611,40 +716,47 @@ class Optimiser:
                     s_d=jnp.full_like(s.par.s_d, cfg.ctf_refine_s)
                 )
 
-        par = s.par
-        n_no_dec = 0
-        prev = None
-        phase = 0
-        for phase in range(MAX_N_PHASE_PER_ITER):
-            self.key, sub = jax.random.split(self.key)
-            if is_ctf:
+        if is_ctf:
+            # CTF refinement keeps a host loop (per-support CTF
+            # re-evaluation path); phase counts are small here
+            par = s.par
+            n_no_dec = 0
+            prev = None
+            phase = 0
+            for phase in range(MAX_N_PHASE_PER_ITER):
+                self.key, sub = jax.random.split(self.key)
                 par, vari = _phase_step_ctf(
                     sub, par, s.cls, proj_stack, rings.i_col, rings.i_row,
                     dat_s, sig_rcp, a_term, d.ctf_params, cfg.size, cfg.pf,
                     self.mode, float(pf_small), float(cfg.trans_s),
                     float(cfg.pixel_size),
                 )
-            else:
-                par, vari = _phase_step(
-                    sub, par, s.cls, proj_stack, rings.i_col, rings.i_row,
-                    dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
-                    float(pf_small), float(cfg.trans_s),
-                )
-            k1, s0, s1 = (float(v) for v in vari)
-            if phase + 1 >= min_phase and prev is not None:
-                pk1, ps0, ps1 = prev
-                f = PARTICLE_FILTER_DECREASE_FACTOR
-                decreased = (k1 < pk1 * f) or (s0 < ps0 * f) or (s1 < ps1 * f)
-                n_no_dec = 0 if decreased else n_no_dec + 1
-                if n_no_dec >= N_PHASE_WITH_NO_VARI_DECREASE:
-                    prev = (k1, s0, s1)
-                    break
-            prev = (k1, s0, s1)
+                k1, s0, s1 = (float(v) for v in vari)
+                if phase + 1 >= min_phase and prev is not None:
+                    pk1, ps0, ps1 = prev
+                    f = PARTICLE_FILTER_DECREASE_FACTOR
+                    decreased = (k1 < pk1 * f) or (s0 < ps0 * f) or (s1 < ps1 * f)
+                    n_no_dec = 0 if decreased else n_no_dec + 1
+                    if n_no_dec >= N_PHASE_WITH_NO_VARI_DECREASE:
+                        prev = (k1, s0, s1)
+                        break
+                prev = (k1, s0, s1)
+            n_phases = phase + 1
+        else:
+            # whole adaptive loop in one device program
+            self.key, sub = jax.random.split(self.key)
+            par, phase = _phase_loop(
+                sub, s.par, s.cls, proj_stack, rings.i_col, rings.i_row,
+                dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
+                float(pf_small), float(cfg.trans_s), int(min_phase),
+                MAX_N_PHASE_PER_ITER,
+            )
+            n_phases = int(phase)
         par = pt.cal_score(par, self.mode)
         if self.sym.order > 1 and not cfg.mode_2d:
             par = pt.symmetrise_top(par, self.sym)
         s.par = par
-        return phase + 1
+        return n_phases
 
     # -- maximization ---------------------------------------------------
 
