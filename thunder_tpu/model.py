@@ -230,3 +230,44 @@ def _shell_index_cached(size: int, ndim: int) -> np.ndarray:
 
     u, _ = _shell_geometry(size, ndim)
     return np.asarray(u)
+
+
+def true_fsc(ref_a, ref_b, mask, n_shells: int, key) -> np.ndarray:
+    """Randomized-phase-corrected masked FSC ("true FSC",
+    Model.cpp:411-567 / the core-FSC and mask-FSC branches):
+
+      1. plain FSC of the unmasked refs -> 0.8-crossing shell
+      2. randomize phases above it, mask both random-phase and true
+         refs, FSC both
+      3. above crossing+2: FSC_true = (FSC_mask - FSC_rf)/(1 - FSC_rf)
+
+    ref_a/ref_b/mask: real-space FFT-layout arrays (device or numpy).
+    """
+    import jax
+    import jax.numpy as jnp
+    from thunder_tpu.ops.fourier import fft2_centered, fft3_centered, \
+        ifft2_centered, ifft3_centered
+    from thunder_tpu.physics.spectrum import fsc as fsc_fn, random_phase
+
+    ndim = np.ndim(ref_a)
+    fftc = fft3_centered if ndim == 3 else fft2_centered
+    ifftc = ifft3_centered if ndim == 3 else ifft2_centered
+
+    a = jnp.asarray(ref_a)
+    b = jnp.asarray(ref_b)
+    m = jnp.asarray(mask)
+    fa, fb = fftc(a), fftc(b)
+    fsc_unmask = np.asarray(fsc_fn(fa, fb, n_shells))
+    thres_shell = spectrum.res_p(fsc_unmask, 0.8, pf=1, r_l=1)
+
+    ka, kb = jax.random.split(jnp.asarray(key))
+    fa_rf = random_phase(fa, ka, thres_shell)
+    fb_rf = random_phase(fb, kb, thres_shell)
+    fsc_rf = np.asarray(fsc_fn(fftc(ifftc(fa_rf) * m), fftc(ifftc(fb_rf) * m),
+                               n_shells))
+    fsc_mask = np.asarray(fsc_fn(fftc(a * m), fftc(b * m), n_shells))
+
+    out = np.array(fsc_mask)
+    hi = np.arange(n_shells) >= thres_shell + 2
+    out[hi] = ((fsc_mask - fsc_rf) / np.maximum(1 - fsc_rf, 1e-6))[hi]
+    return out

@@ -89,6 +89,19 @@ PARTICLE_FILTER_DECREASE_FACTOR = 0.95  # include/Optimiser.h:60
 _ROT_BLOCK = 256  # rotations per MXU block in global search
 
 
+def json_dumps_bytes(obj) -> bytes:
+    """Python json round-trips Infinity natively, which the model state
+    uses as the variance-reset sentinel."""
+    import json
+
+    def default(o):
+        if isinstance(o, (np.floating, np.integer)):
+            return o.item()
+        raise TypeError(type(o))
+
+    return json.dumps(obj, default=default).encode()
+
+
 # ======================================================================
 # jitted device stages (module-level: compiled once per shape bucket)
 # ======================================================================
@@ -1066,10 +1079,29 @@ class Optimiser:
         fftc = (lambda x: jnp.fft.fftshift(jnp.fft.fftn(x, axes=tuple(range(x.ndim)))))
         from thunder_tpu.physics.spectrum import _shell_geometry, res_p as res_p_fn
 
+        use_true_fsc = (not cfg.mode_2d) and (cfg.core_fsc or cfg.mask_fsc)
         for t in range(cfg.k):
             fa = fftc(self.state[0].refs[t])
             fb = fftc(self.state[1].refs[t])
-            fsc_all[t] = np.asarray(fsc_fn(fa, fb, n_shells))
+            if use_true_fsc:
+                # core/masked randomized-phase-corrected FSC
+                # (Model.cpp:411-567)
+                from thunder_tpu.constants import EDGE_WIDTH_RL
+                from thunder_tpu.model import true_fsc
+                from thunder_tpu.physics.mask import soft_mask_weight
+
+                if cfg.mask_fsc and self._ref_mask is not None:
+                    m = self._ref_mask
+                else:
+                    m = np.asarray(soft_mask_weight(
+                        cfg.size, 3, cfg.mask_radius / cfg.pixel_size,
+                        EDGE_WIDTH_RL,
+                    ))
+                self.key, kf = jax.random.split(self.key)
+                fsc_all[t] = true_fsc(self.state[0].refs[t],
+                                      self.state[1].refs[t], m, n_shells, kf)
+            else:
+                fsc_all[t] = np.asarray(fsc_fn(fa, fb, n_shells))
             r_avg = res_p_fn(fsc_all[t], 0.95, pf=1, r_l=1)
             if r_avg > 1:
                 u, _ = _shell_geometry(cfg.size, 2 if cfg.mode_2d else 3)
@@ -1190,6 +1222,55 @@ class Optimiser:
                 diff = d.ft_ori[i] - ctf_full[i] * pri
                 out[d.index[i]] = np.asarray(ifft2_centered(diff))
         return out
+
+    def save_checkpoint(self, path: str):
+        """Native full-state checkpoint (beyond the .thu-compatible
+        one): references, sigma, particle clouds, offsets and the
+        round-level state machine, restorable mid-run (SURVEY §5's
+        "orbax-style native checkpoint" item)."""
+        import dataclasses
+
+        blobs = {}
+        for h in (0, 1):
+            s = self.state[h]
+            blobs[f"refs_{h}"] = np.asarray(s.refs)
+            blobs[f"sigma_{h}"] = np.asarray(s.sigma)
+            blobs[f"cls_{h}"] = np.asarray(s.cls)
+            blobs[f"offset_{h}"] = np.asarray(self.offset[h])
+            for fname, arr in zip(s.par._fields, s.par):
+                blobs[f"par_{h}_{fname}"] = np.asarray(arr)
+        model = {
+            f.name: getattr(self.model, f.name)
+            for f in dataclasses.fields(self.model)
+            if f.name != "fsc"
+        }
+        blobs["fsc"] = self.model.fsc
+        blobs["model_json"] = np.frombuffer(
+            json_dumps_bytes(model), dtype=np.uint8
+        )
+        blobs["key"] = np.asarray(self.key)
+        np.savez_compressed(path, **blobs)
+
+    def load_checkpoint(self, path: str):
+        import dataclasses
+        import json as _json
+
+        z = np.load(path, allow_pickle=False)
+        for h in (0, 1):
+            s = self.state[h]
+            s.refs = jnp.asarray(z[f"refs_{h}"])
+            s.sigma = jnp.asarray(z[f"sigma_{h}"])
+            s.cls = jnp.asarray(z[f"cls_{h}"])
+            self.offset[h] = jnp.asarray(z[f"offset_{h}"])
+            fields = {f: jnp.asarray(z[f"par_{h}_{f}"])
+                      for f in s.par._fields}
+            s.par = pt.ParticleState(**fields)
+        model = _json.loads(bytes(z["model_json"]).decode())
+        for f in dataclasses.fields(self.model):
+            if f.name in model:
+                setattr(self.model, f.name, model[f.name])
+        self.model.fsc = z["fsc"]
+        self.key = jnp.asarray(z["key"])
 
     # -- exports ---------------------------------------------------------
 
