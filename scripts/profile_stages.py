@@ -3,10 +3,13 @@
     python scripts/profile_stages.py [size] [n_images]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
