@@ -54,12 +54,12 @@ def main():
     stage("phase_loop", lambda: opt.local_phases(0, rings))
     stage("sigma", lambda: opt.refresh_sigma(0))
     pairs_ru = stage("insert", lambda: opt.reconstruct_round(0))
-    pairs, r_u = pairs_ru
+    pairs, r_u, grid_size = pairs_ru
     from thunder_tpu.recon.reconstructor import reconstruct
     import jax.numpy as jnp
 
     stage("reconstruct", lambda: reconstruct(
-        pairs[0][0], pairs[0][1], jnp.ones(cfg.max_r), cfg.size, cfg.pf, r_u
+        pairs[0][0], pairs[0][1], jnp.ones(cfg.max_r), grid_size, cfg.pf, r_u
     ))
     total = sum(times.values())
     for k, v in sorted(times.items(), key=lambda kv: -kv[1]):

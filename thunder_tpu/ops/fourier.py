@@ -67,6 +67,40 @@ def pad_rl(x: jax.Array, pf: int) -> jax.Array:
     return jnp.fft.ifftshift(padded, axes=tuple(range(nd)))
 
 
+def resize_rl(x: jax.Array, new_size: int,
+              preserve: str = "coefficients") -> jax.Array:
+    """Fourier resample an FFT-layout real array to a new box size
+    (centered spectrum crop/pad).
+
+    preserve="coefficients": the DFT coefficients are kept — projecting
+    or re-FFT-ing the result reproduces the same Fourier samples.  This
+    is the convention for growing cropped-grid reconstructions back to
+    the full box (Model::resetReco keeps size_r maps whose DFT matches
+    the insertion grid, Model.cpp:1100-1130).
+    preserve="values": real-space sample values are kept (what a user
+    expects from a volume-resize tool).
+    """
+    nd = x.ndim
+    size = x.shape[-1]
+    if new_size == size:
+        return x
+    axes = tuple(range(nd))
+    ft = jnp.fft.fftshift(jnp.fft.fftn(x, axes=axes), axes=axes)
+    c, nc = size // 2, new_size // 2
+    if new_size < size:
+        sl = tuple(slice(c - nc, c - nc + new_size) for _ in range(nd))
+        ft2 = ft[sl]
+    else:
+        pad = [(nc - c, new_size - size - (nc - c))] * nd
+        ft2 = jnp.pad(ft, pad)
+    out = jnp.real(
+        jnp.fft.ifftn(jnp.fft.ifftshift(ft2, axes=axes), axes=axes)
+    )
+    if preserve == "values":
+        out = out * (new_size / size) ** nd
+    return out
+
+
 def extract_rl(x: jax.Array, factor: int) -> jax.Array:
     """Extract the central 1/factor region (IMG/VOL_EXTRACT_RL analogue)."""
     if factor == 1:

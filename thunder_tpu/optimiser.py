@@ -438,16 +438,19 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
     return jnp.where(valid[None, :], jnp.maximum(sigma, 1e-6), sigma_prev)
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym"))
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
+                                   "grid_size"))
 def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
                   sym_mats, max_radius_pad, size: int, pf: int,
-                  mode_2d: bool, n_sym: int):
+                  mode_2d: bool, n_sym: int, grid_size: int | None = None):
     """Translate-align + scatter-insert one class's images into (F, T).
 
     ctf: (L, P) shared across draws, or (L, D, P) per-draw (defocus
-    refinement path).
+    refinement path).  grid_size < size selects the cropped
+    reconstructor grid (Model::resetReco): integer frequencies are
+    identical, only the accumulation cube shrinks.
     """
-    big = size * pf
+    big = (grid_size or size) * pf
     tra = translate_phases_view(i_col, i_row, size, trans)      # (L, D, P)
     dat_al = dat[:, None, :] * jnp.conj(tra)
     ctf_d = ctf if ctf.ndim == 3 else ctf[:, None, :]
@@ -980,11 +983,20 @@ class Optimiser:
                 )
                 self.state[h].sigma = self.state[h].sigma / (scale[:, None] ** 2)
 
+    def _reco_grid_size(self, r_u: int) -> int:
+        """Cropped reconstructor box (Model::resetReco, Model.cpp:1113):
+        min(size, (rU + ceil(a)) * 2), kept even and >= 16."""
+        cfg = self.cfg
+        size_r = min(cfg.size, 2 * (r_u + 2))
+        size_r = max(16, size_r + (size_r % 2))
+        return size_r
+
     def reconstruct_round(self, h: int):
         cfg = self.cfg
         d = self.data[h]
         s = self.state[h]
         r_u = min(int(self.model.r) + 3, cfg.max_r)
+        grid_size = self._reco_grid_size(r_u)
         rings = pack_rings(cfg.size, r_u, 0)
 
         dat = extract_packed(d.ft_ori, rings) * rings.mask
@@ -1019,9 +1031,10 @@ class Optimiser:
                 quats, trans, w_l, self.sym.matrices,
                 jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
                 cfg.size, cfg.pf, cfg.mode_2d, self.sym.order,
+                grid_size,
             )
             pairs.append((f_grid, t_grid))
-        return pairs, r_u
+        return pairs, r_u, grid_size
 
     # -- one full round --------------------------------------------------
 
@@ -1051,12 +1064,16 @@ class Optimiser:
         ft_pairs = []
         for h in (0, 1):
             self.refresh_sigma(h)
-            pairs, r_u = self.reconstruct_round(h)
+            pairs, r_u, grid_size = self.reconstruct_round(h)
             ft_pairs.append(pairs)
 
         # reconstruct with the PREVIOUS round's FSC (the reference's
         # Model holds _FSC from compareTwoHemispheres of the prior
-        # round and feeds it to Reconstructor::reconstruct)
+        # round and feeds it to Reconstructor::reconstruct); the
+        # gridding-balance loop runs on the cropped grid, and the
+        # result is Fourier-resampled back to the full box
+        from thunder_tpu.ops.fourier import resize_rl
+
         fsc_prev = self.model.fsc
         for h in (0, 1):
             new_refs = []
@@ -1065,9 +1082,11 @@ class Optimiser:
                 vol = reconstruct(
                     f_grid, t_grid,
                     jnp.asarray(fsc_prev[t % fsc_prev.shape[0]], jnp.float32),
-                    cfg.size, cfg.pf, r_u,
+                    grid_size, cfg.pf, r_u,
                     map_wiener=(not cfg.mode_2d), join_half=False,
                 )
+                if grid_size != cfg.size:
+                    vol = resize_rl(vol, cfg.size)
                 new_refs.append(vol)
             self.state[h].refs = jnp.stack(new_refs)
 
@@ -1165,7 +1184,7 @@ class Optimiser:
         self.model.r = cfg.max_r - 3
         ft_pairs = []
         for h in (0, 1):
-            pairs, r_u = self.reconstruct_round(h)
+            pairs, r_u, grid_size = self.reconstruct_round(h)
             ft_pairs.append(pairs)
         self.model.r = saved_r
 
@@ -1178,9 +1197,13 @@ class Optimiser:
                     f_grid, t_grid,
                     jnp.asarray(self.model.fsc[t % self.model.fsc.shape[0]],
                                 jnp.float32),
-                    cfg.size, cfg.pf, r_u,
+                    grid_size, cfg.pf, r_u,
                     map_wiener=(not cfg.mode_2d), join_half=True,
                 )
+                if grid_size != cfg.size:
+                    from thunder_tpu.ops.fourier import resize_rl
+
+                    vol = resize_rl(vol, cfg.size)
                 per_h.append(vol)
                 self.state[h].refs = self.state[h].refs.at[t].set(vol)
             out.append(np.asarray((per_h[0] + per_h[1]) / 2))
