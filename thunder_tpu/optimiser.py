@@ -76,7 +76,7 @@ from thunder_tpu.ops.projector import (
     project_3d,
 )
 from thunder_tpu.physics.ctf import CtfParams, ctf_packed
-from thunder_tpu.physics.spectrum import fsc as fsc_fn
+from thunder_tpu.physics.spectrum import _shell_geometry, fsc as fsc_fn
 from thunder_tpu.pipeline.preprocess import (
     init_sigma,
     preprocess_images,
@@ -200,6 +200,55 @@ class _RingsView(NamedTuple):
     i_col: jax.Array
     i_row: jax.Array
     size: int
+
+
+@partial(jax.jit, static_argnames=("n_shells",))
+def _compare_refs(ref_a, ref_b, n_shells: int):
+    """FSC between hemisphere refs + conditional averaging below the
+    0.95-crossing shell, for all classes at once
+    (Model::compareTwoHemispheres, Model.cpp:307-851).
+
+    ref_a/ref_b: (K, ...) real-space FFT-layout.  Returns
+    (fsc (K, n_shells), averaged ref_a, averaged ref_b).
+    """
+    nd = ref_a.ndim - 1
+    axes = tuple(range(1, ref_a.ndim))
+    fa = jnp.fft.fftshift(jnp.fft.fftn(ref_a, axes=axes), axes=axes)
+    fb = jnp.fft.fftshift(jnp.fft.fftn(ref_b, axes=axes), axes=axes)
+
+    size = ref_a.shape[-1]
+    u, half = _shell_geometry(size, nd)
+    u = jnp.asarray(u)
+    half = jnp.asarray(half)
+    u_cl = jnp.minimum(u, n_shells)
+
+    def shell_sum_batch(vals):
+        vals = jnp.where(half, vals, 0.0)
+        flat = vals.reshape(vals.shape[0], -1)
+        out = jnp.zeros((vals.shape[0], n_shells + 1), flat.dtype)
+        return out.at[:, u_cl.reshape(-1)].add(flat)[:, :n_shells]
+
+    num = shell_sum_batch(jnp.real(fa * jnp.conj(fb)))
+    pa = shell_sum_batch(jnp.abs(fa) ** 2)
+    pb = shell_sum_batch(jnp.abs(fb) ** 2)
+    den = jnp.sqrt(pa * pb)
+    fsc = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+
+    # averaging shell: last shell (from 1 up) with FSC > 0.95 before the
+    # first crossing — computed branch-free per class
+    below = fsc < 0.95
+    below = below.at[:, 0].set(False)
+    first_cross = jnp.argmax(below, axis=1)
+    has_cross = jnp.any(below, axis=1)
+    r_avg = jnp.where(has_cross, first_cross - 1, n_shells - 1)
+
+    sel = u[None] <= r_avg[(...,) + (None,) * nd]
+    avg = (fa + fb) / 2
+    fa2 = jnp.where(sel, avg, fa)
+    fb2 = jnp.where(sel, avg, fb)
+    ia = jnp.real(jnp.fft.ifftn(jnp.fft.ifftshift(fa2, axes=axes), axes=axes))
+    ib = jnp.real(jnp.fft.ifftn(jnp.fft.ifftshift(fb2, axes=axes), axes=axes))
+    return fsc, ia, ib
 
 
 @partial(jax.jit, static_argnames=("n_rot_out", "n_trans_out", "mode"))
@@ -1092,47 +1141,33 @@ class Optimiser:
 
         # golden-standard FSC on the reconstructed references
         # (Model::compareTwoHemispheres, Model.cpp:307-851) + averaging
-        # of the halves below the 0.95-crossing shell
+        # of the halves below the 0.95-crossing shell — one jit call
         n_shells = cfg.max_r
-        fsc_all = np.zeros((cfg.k, n_shells))
-        fftc = (lambda x: jnp.fft.fftshift(jnp.fft.fftn(x, axes=tuple(range(x.ndim)))))
-        from thunder_tpu.physics.spectrum import _shell_geometry, res_p as res_p_fn
-
         use_true_fsc = (not cfg.mode_2d) and (cfg.core_fsc or cfg.mask_fsc)
-        for t in range(cfg.k):
-            fa = fftc(self.state[0].refs[t])
-            fb = fftc(self.state[1].refs[t])
-            if use_true_fsc:
-                # core/masked randomized-phase-corrected FSC
-                # (Model.cpp:411-567)
-                from thunder_tpu.constants import EDGE_WIDTH_RL
-                from thunder_tpu.model import true_fsc
-                from thunder_tpu.physics.mask import soft_mask_weight
+        fsc_dev, ref_a_new, ref_b_new = _compare_refs(
+            self.state[0].refs, self.state[1].refs, n_shells
+        )
+        fsc_all = np.asarray(fsc_dev)
+        self.state[0].refs = ref_a_new
+        self.state[1].refs = ref_b_new
+        if use_true_fsc:
+            # core/masked randomized-phase-corrected FSC replaces the
+            # plain curves for the state machine (Model.cpp:411-567)
+            from thunder_tpu.constants import EDGE_WIDTH_RL
+            from thunder_tpu.model import true_fsc
+            from thunder_tpu.physics.mask import soft_mask_weight
 
-                if cfg.mask_fsc and self._ref_mask is not None:
-                    m = self._ref_mask
-                else:
-                    m = np.asarray(soft_mask_weight(
-                        cfg.size, 3, cfg.mask_radius / cfg.pixel_size,
-                        EDGE_WIDTH_RL,
-                    ))
+            if cfg.mask_fsc and self._ref_mask is not None:
+                m = self._ref_mask
+            else:
+                m = np.asarray(soft_mask_weight(
+                    cfg.size, 3, cfg.mask_radius / cfg.pixel_size,
+                    EDGE_WIDTH_RL,
+                ))
+            for t in range(cfg.k):
                 self.key, kf = jax.random.split(self.key)
                 fsc_all[t] = true_fsc(self.state[0].refs[t],
                                       self.state[1].refs[t], m, n_shells, kf)
-            else:
-                fsc_all[t] = np.asarray(fsc_fn(fa, fb, n_shells))
-            r_avg = res_p_fn(fsc_all[t], 0.95, pf=1, r_l=1)
-            if r_avg > 1:
-                u, _ = _shell_geometry(cfg.size, 2 if cfg.mode_2d else 3)
-                sel = jnp.asarray(u <= r_avg)
-                avg_ft = (fa + fb) / 2
-                fa2 = jnp.where(sel, avg_ft, fa)
-                fb2 = jnp.where(sel, avg_ft, fb)
-                ifftc = lambda x: jnp.real(
-                    jnp.fft.ifftn(jnp.fft.ifftshift(x), axes=tuple(range(x.ndim)))
-                )
-                self.state[0].refs = self.state[0].refs.at[t].set(ifftc(fa2))
-                self.state[1].refs = self.state[1].refs.at[t].set(ifftc(fb2))
 
         self.model.set_fsc(fsc_all)
         self.model.update_res(cfg.thres_report_fsc)

@@ -192,11 +192,16 @@ def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
     return out
 
 
+@partial(jax.jit, static_argnames=("size", "pf", "max_radius", "map_wiener",
+                                   "join_half", "grid_corr"))
 def reconstruct(f_grid: jax.Array, t_grid: jax.Array, fsc_curve: jax.Array,
                 size: int, pf: int, max_radius: int,
                 map_wiener: bool = True, join_half: bool = False,
                 grid_corr: bool = True) -> jax.Array:
-    """Full per-class reconstruction from accumulated (F, T) grids."""
+    """Full per-class reconstruction from accumulated (F, T) grids.
+
+    One jitted program: Wiener -> balance while_loop -> final transform
+    (a single device dispatch per class instead of ~15 eager ops)."""
     t_real = jnp.real(t_grid) if jnp.iscomplexobj(t_grid) else t_grid
     if map_wiener:
         t_real = wiener_filter_t(t_real, fsc_curve, pf, max_radius, join_half)
