@@ -111,31 +111,40 @@ def balance_weights(t_grid: jax.Array, pf: int, max_radius: int,
     """Iterate W such that (T.W) convolved with the gridding window ~ 1.
 
     t_grid: real float32 centered grid (already Wiener-filtered).
-    Returns W (float32).  The C-convolution is a padded-volume FFT pair
-    with a real-space MKB window (the reference's tabulated kernel made
-    exact on the VPU).
+    Returns W (float32) on the centered grid.
+
+    The spectra here (T, W, C) are real-valued fields over the frequency
+    grid, and T/W are even under k -> -k (Hermitian accumulation), so
+    the whole loop runs in **rfft half-space**: C -> real space via
+    irfftn, multiply the real MKB window, back via rfftn — half the FFT
+    work and bandwidth of the complex round trip the reference's FFTW
+    c2r/r2c pair also exploits (Reconstructor.cpp:2595-2674).
     """
     big, ndim = t_grid.shape[-1], t_grid.ndim
-    quad_inside = _quad_inside(big, ndim, max_radius * pf)
+    c = big // 2
     window = _mkb_window(big, ndim, a, alpha)
+    axes = tuple(range(ndim))
+    shape = t_grid.shape
 
-    t_grid = jnp.maximum(t_grid, T_MIN)
-    w0 = jnp.where(quad_inside, 1.0, 0.0).astype(jnp.float32)
+    def to_half(x):
+        return jnp.fft.ifftshift(x, axes=axes)[..., :c + 1]
 
-    def convolute_c(c_ft):
-        # keep C complex through the round trip: it is not Hermitian
-        # mid-iteration (T is real but the windowing acts per-voxel)
-        c_rl = jnp.fft.ifftn(jnp.fft.ifftshift(c_ft))
-        c_rl = c_rl * window
-        return jnp.fft.fftshift(jnp.fft.fftn(c_rl))
+    quad_inside_h = to_half(
+        jnp.asarray(_quad_inside(big, ndim, max_radius * pf))
+    )
+    t_half = to_half(jnp.maximum(t_grid, T_MIN))
+    w0 = jnp.where(quad_inside_h, 1.0, 0.0).astype(jnp.float32)
+
+    def convolute_c(c_half):
+        c_rl = jnp.fft.irfftn(c_half.astype(jnp.complex64), s=shape, axes=axes)
+        return jnp.fft.rfftn(c_rl * window, axes=axes)
 
     def body(state):
         w, diff_prev, n_no_dec, it, _ = state
-        c = (t_grid * w).astype(jnp.complex64)
-        c = convolute_c(c)
-        c_abs = jnp.abs(c)
-        w = jnp.where(quad_inside, w / jnp.maximum(c_abs, C_ABS_MIN), w)
-        diff = jnp.max(jnp.where(quad_inside, jnp.abs(c_abs - 1.0), 0.0))
+        c_f = convolute_c(t_half * w)
+        c_abs = jnp.abs(c_f)
+        w = jnp.where(quad_inside_h, w / jnp.maximum(c_abs, C_ABS_MIN), w)
+        diff = jnp.max(jnp.where(quad_inside_h, jnp.abs(c_abs - 1.0), 0.0))
         n_no_dec = jnp.where(diff > diff_prev * DIFF_C_DECREASE_THRES,
                              n_no_dec + 1, 0)
         return w, diff, n_no_dec, it + 1, diff_prev
@@ -153,8 +162,29 @@ def balance_weights(t_grid: jax.Array, pf: int, max_radius: int,
     big_f = jnp.asarray(jnp.finfo(jnp.float32).max)
     state = (w0, big_f, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), big_f)
     state = body(state)  # always run at least one iteration
-    w, _, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return w
+    w_half, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+
+    # expand the real, even W back to the full centered grid by mirror
+    idx = [np.arange(big) for _ in range(ndim)]
+    mirror = [(-np.arange(big)) % big for _ in range(ndim)]
+    # full corner-layout: for kx <= c take w_half directly; else mirror
+    kx = np.arange(big)
+    take_mirror = kx > c
+    gx = np.where(take_mirror, (big - kx) % big, kx)          # source kx
+    gx_col = np.minimum(gx, c)
+    if ndim == 3:
+        gz = jnp.asarray(np.where(take_mirror[None, None, :],
+                                  mirror[0][:, None, None], idx[0][:, None, None]))
+        gy = jnp.asarray(np.where(take_mirror[None, None, :],
+                                  mirror[1][None, :, None], idx[1][None, :, None]))
+        gxc = jnp.asarray(np.broadcast_to(gx_col[None, None, :], (big, big, big)))
+        w_full = w_half[gz, gy, gxc]
+    else:
+        gy = jnp.asarray(np.where(take_mirror[None, :],
+                                  mirror[0][:, None], idx[0][:, None]))
+        gxc = jnp.asarray(np.broadcast_to(gx_col[None, :], (big, big)))
+        w_full = w_half[gy, gxc]
+    return jnp.fft.fftshift(w_full, axes=axes)
 
 
 @lru_cache(maxsize=32)
