@@ -564,11 +564,17 @@ class Optimiser:
                  init_refs: np.ndarray | None = None,
                  key: jax.Array | None = None,
                  hemi_of: np.ndarray | None = None,
-                 resume_thu=None):
+                 resume_thu=None, mesh=None):
         """resume_thu: a ThuTable carrying saved poses; used when
         cfg.g_search is False to rebuild each image's particle cloud
         around its checkpointed pose (loadParticles, Optimiser.cpp:5312
-        + Particle::load)."""
+        + Particle::load).
+
+        mesh: optional jax Mesh with a "data" axis.  Each hemisphere's
+        image-indexed arrays are sharded over it; the jitted stages then
+        run SPMD with XLA-inserted collectives (the psum over data that
+        replaces MPI_Allreduce_Large + NCCL, SURVEY §2.4).  Image counts
+        per hemisphere must divide the data-axis size."""
         self.cfg = cfg
         self.key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         self.sym = Symmetry(cfg.sym) if not cfg.mode_2d else Symmetry("C1")
@@ -643,12 +649,36 @@ class Optimiser:
                 )
                 self.key, sub = jax.random.split(self.key)
                 cls = jax.random.randint(sub, (len(sel),), 0, cfg.k)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                def shard(x, n_extra):
+                    return jax.device_put(
+                        x, NamedSharding(mesh, P("data", *([None] * n_extra)))
+                    )
+
+                data = HemisphereData(
+                    ft_masked=shard(data.ft_masked, 2),
+                    ft_ori=shard(data.ft_ori, 2),
+                    ctf_params=CtfParams(*[shard(f, 0) for f in data.ctf_params]),
+                    group_id=shard(data.group_id, 0),
+                    index=data.index,
+                )
+                par = jax.tree.map(lambda a: shard(a, a.ndim - 1), par)
+                cls = shard(cls, 0)
+
             self.data.append(data)
             self.state.append(
                 HemisphereState(refs=jnp.asarray(refs), sigma=sigma,
                                 par=par, cls=cls)
             )
-            self.offset.append(jnp.zeros((len(sel), 2), jnp.float32))
+            off = jnp.zeros((len(sel), 2), jnp.float32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                off = jax.device_put(off, NamedSharding(mesh, P("data", None)))
+            self.offset.append(off)
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
 

@@ -210,8 +210,13 @@ def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
     big, ndim = f_grid.shape[-1], f_grid.ndim
     quad_inside = _quad_inside(big, ndim, max_radius * pf)
     pad_dst = jnp.where(quad_inside, f_grid * w, 0.0)
-    ifftc = ifft3_centered if ndim == 3 else ifft2_centered
-    rl = ifftc(pad_dst)
+    # F was Hermitian-folded and W is real-even, so the padded spectrum
+    # is Hermitian: a c2r transform does half the work of the complex
+    # path (the reference's FFTW bw is c2r for the same reason)
+    axes = tuple(range(ndim))
+    c = big // 2
+    half = jnp.fft.ifftshift(pad_dst, axes=axes)[..., :c + 1]
+    rl = jnp.fft.irfftn(half, s=pad_dst.shape, axes=axes)
     out = extract_rl(rl, pf)
     if grid_corr:
         out = out / _tik_correction(size, ndim, pf)
