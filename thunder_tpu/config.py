@@ -10,7 +10,7 @@ demo configs (script/demo_2D.json etc.) run unmodified.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 
 @dataclass

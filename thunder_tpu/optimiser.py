@@ -76,7 +76,7 @@ from thunder_tpu.ops.projector import (
     project_3d,
 )
 from thunder_tpu.physics.ctf import CtfParams, ctf_packed
-from thunder_tpu.physics.spectrum import _shell_geometry, fsc as fsc_fn
+from thunder_tpu.physics.spectrum import _shell_geometry
 from thunder_tpu.pipeline.preprocess import (
     init_sigma,
     preprocess_images,

@@ -30,7 +30,6 @@ from thunder_tpu.constants import (
     PEAK_FACTOR_MAX,
     PEAK_FACTOR_MIN,
     PERTURB_K_MAX,
-    TRANS_Q,
 )
 from thunder_tpu.geometry.directional import (
     infer_acg_k123,

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from thunder_tpu.constants import EDGE_WIDTH_FT, EDGE_WIDTH_RL
+from thunder_tpu.constants import EDGE_WIDTH_FT
 from thunder_tpu.ops.fourier import fft3_centered, ifft3_centered
 from thunder_tpu.physics import spectrum
 from thunder_tpu.physics.filters import fsc_weighting_filter, sharpen
