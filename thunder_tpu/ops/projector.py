@@ -125,6 +125,84 @@ def _gather_bilinear_2d(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array
     )
 
 
+def _gather_trilinear_3d_stack(vols: jax.Array, vol_idx: jax.Array,
+                               x: jax.Array, y: jax.Array,
+                               z: jax.Array) -> jax.Array:
+    """Trilinear gather from a stack of cubes (K, big, big, big) where
+    each leading-batch row selects its own cube via vol_idx (L,).
+
+    x/y/z: (L, ...) centered coordinates.  One gather instead of K —
+    the classification hot path projects only each image's own class.
+    """
+    big = vols.shape[-1]
+    c = big // 2
+    fx, fy, fz = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    wx = (x - fx).astype(jnp.float32)
+    wy = (y - fy).astype(jnp.float32)
+    wz = (z - fz).astype(jnp.float32)
+    ix = fx.astype(jnp.int32) + c
+    iy = fy.astype(jnp.int32) + c
+    iz = fz.astype(jnp.int32) + c
+    vi = vol_idx.reshape(vol_idx.shape + (1,) * (x.ndim - 1))
+
+    def tap(dz, dy, dx, w):
+        xi = jnp.clip(ix + dx, 0, big - 1)
+        yi = jnp.clip(iy + dy, 0, big - 1)
+        zi = jnp.clip(iz + dz, 0, big - 1)
+        return vols[vi, zi, yi, xi] * w.astype(vols.dtype)
+
+    out = tap(0, 0, 0, (1 - wz) * (1 - wy) * (1 - wx))
+    out += tap(0, 0, 1, (1 - wz) * (1 - wy) * wx)
+    out += tap(0, 1, 0, (1 - wz) * wy * (1 - wx))
+    out += tap(0, 1, 1, (1 - wz) * wy * wx)
+    out += tap(1, 0, 0, wz * (1 - wy) * (1 - wx))
+    out += tap(1, 0, 1, wz * (1 - wy) * wx)
+    out += tap(1, 1, 0, wz * wy * (1 - wx))
+    out += tap(1, 1, 1, wz * wy * wx)
+    return out
+
+
+def _gather_bilinear_2d_stack(imgs: jax.Array, img_idx: jax.Array,
+                              x: jax.Array, y: jax.Array) -> jax.Array:
+    big = imgs.shape[-1]
+    c = big // 2
+    fx, fy = jnp.floor(x), jnp.floor(y)
+    wx = (x - fx).astype(jnp.float32)
+    wy = (y - fy).astype(jnp.float32)
+    ix = fx.astype(jnp.int32) + c
+    iy = fy.astype(jnp.int32) + c
+    vi = img_idx.reshape(img_idx.shape + (1,) * (x.ndim - 1))
+
+    def tap(dy, dx, w):
+        xi = jnp.clip(ix + dx, 0, big - 1)
+        yi = jnp.clip(iy + dy, 0, big - 1)
+        return imgs[vi, yi, xi] * w.astype(imgs.dtype)
+
+    return (
+        tap(0, 0, (1 - wy) * (1 - wx))
+        + tap(0, 1, (1 - wy) * wx)
+        + tap(1, 0, wy * (1 - wx))
+        + tap(1, 1, wy * wx)
+    )
+
+
+def project_classed(proj_stack: jax.Array, cls: jax.Array, rot: jax.Array,
+                    rings, pf: int, mode_2d: bool) -> jax.Array:
+    """Project per-image rotations from each image's own class spectrum.
+
+    proj_stack: (K, big, ...) padded corrected spectra; cls: (L,);
+    rot: (L, R, d, d); returns (L, R, p) complex slices.
+    """
+    fx = (rings.i_col * pf).astype(jnp.float32)
+    fy = (rings.i_row * pf).astype(jnp.float32)
+    x = rot[..., 0, 0:1] * fx + rot[..., 0, 1:2] * fy
+    y = rot[..., 1, 0:1] * fx + rot[..., 1, 1:2] * fy
+    if mode_2d:
+        return _gather_bilinear_2d_stack(proj_stack, cls, x, y)
+    z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
+    return _gather_trilinear_3d_stack(proj_stack, cls, x, y, z)
+
+
 def project_3d(proj: Projectee, rot: jax.Array, rings: PackedRings) -> jax.Array:
     """Extract central slices at packed pixels for a batch of rotations.
 

@@ -74,6 +74,7 @@ from thunder_tpu.ops.projector import (
     prepare_projectee_3d,
     project_2d,
     project_3d,
+    project_classed,
 )
 from thunder_tpu.physics.ctf import CtfParams, ctf_packed
 from thunder_tpu.physics.spectrum import _shell_geometry
@@ -303,17 +304,12 @@ def _phase_body(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     tra = translate_phases_view(i_col, i_row, size, par.t)
     if mode_2d:
         rot = rotate2d_from_unit(par.r[..., :2])
-        project = project_2d
     else:
         rot = rotate3d(par.r)
-        project = project_3d
 
-    k_cls = proj_stack.shape[0]
-    pri_pc = jnp.stack(
-        [project(Projectee(proj_stack[t], size, pf, size // 2 - 1), rot, rings)
-         for t in range(k_cls)], axis=0,
-    )
-    pri = pri_pc[cls, jnp.arange(cls.shape[0])]
+    # gather only each image's own class (project_classed): K-fold
+    # cheaper than projecting every class and selecting
+    pri = project_classed(proj_stack, cls, rot, rings, pf, mode_2d)
 
     dvp = log_dvp_local(dat_w, sctf2, pri, tra, a_term)   # (L, R, T)
     base = jnp.max(dvp, axis=(1, 2), keepdims=True)
@@ -422,17 +418,9 @@ def _phase_step_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     tra = translate_phases_view(i_col, i_row, size, par.t)
     if mode_2d:
         rot = rotate2d_from_unit(par.r[..., :2])
-        project = project_2d
     else:
         rot = rotate3d(par.r)
-        project = project_3d
-
-    k_cls = proj_stack.shape[0]
-    pri_pc = jnp.stack(
-        [project(Projectee(proj_stack[t], size, pf, size // 2 - 1), rot, rings)
-         for t in range(k_cls)], axis=0,
-    )
-    pri = pri_pc[cls, jnp.arange(cls.shape[0])]
+    pri = project_classed(proj_stack, cls, rot, rings, pf, mode_2d)
 
     ctf_d = ctf_packed_scaled(ctf_base, i_col, i_row, size, pixel_size, par.d)
     dvp = log_dvp_local_ctf(dat_s, s_pack, ctf_d, pri, tra, a_term)  # (l,d,r,t)
@@ -461,16 +449,10 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
     rings = _RingsView(i_col, i_row, size)
     if mode_2d:
         rot = rotate2d_from_unit(top_r[..., :2])
-        project = project_2d
     else:
         rot = rotate3d(top_r)
-        project = project_3d
-    k_cls = proj_stack.shape[0]
-    pri_pc = jnp.stack(
-        [project(Projectee(proj_stack[t], size, pf, size // 2 - 1),
-                 rot[:, None], rings)[:, 0] for t in range(k_cls)], axis=0,
-    )
-    pri = pri_pc[cls, jnp.arange(cls.shape[0])]
+    pri = project_classed(proj_stack, cls, rot[:, None], rings, pf,
+                          mode_2d)[:, 0]
     tra = translate_phases_view(i_col, i_row, size, top_t[:, None])[:, 0]
     resid = dat - ctf * tra * pri
     power = jnp.abs(resid) ** 2 * mask
@@ -953,16 +935,13 @@ class Optimiser:
             )
             if cfg.mode_2d:
                 rot = rotate2d_from_unit(s.par.top_r[..., :2])
-                project = project_2d
             else:
                 rot = rotate3d(s.par.top_r)
-                project = project_3d
-            pri_pc = jnp.stack(
-                [project(Projectee(proj_stack[t], cfg.size, cfg.pf,
-                                   cfg.size // 2 - 1), rot[:, None], rings)[:, 0]
-                 for t in range(cfg.k)], axis=0,
-            )
-            pri = pri_pc[s.cls, jnp.arange(s.cls.shape[0])]
+            pri = project_classed(
+                proj_stack, s.cls, rot[:, None],
+                _RingsView(rings.i_col, rings.i_row, cfg.size),
+                cfg.pf, cfg.mode_2d,
+            )[:, 0]
             eff_t = s.par.top_t - self.offset[h]
             tra = translate_phases(rings, eff_t[:, None])[:, 0]
             resid = dat - ctf * tra * pri
@@ -1019,16 +998,11 @@ class Optimiser:
         )
         if cfg.mode_2d:
             rot = rotate2d_from_unit(s.par.top_r[..., :2])
-            project = project_2d
         else:
             rot = rotate3d(s.par.top_r)
-            project = project_3d
-        pri_pc = jnp.stack(
-            [project(Projectee(proj_stack[t], cfg.size, cfg.pf,
-                               cfg.size // 2 - 1), rot[:, None], rings)[:, 0]
-             for t in range(cfg.k)], axis=0,
-        )
-        pri = pri_pc[s.cls, jnp.arange(s.cls.shape[0])]
+        pri = project_classed(proj_stack, s.cls, rot[:, None],
+                              _RingsView(rings.i_col, rings.i_row, cfg.size),
+                              cfg.pf, cfg.mode_2d)[:, 0]
         eff_t = s.par.top_t - self.offset[h]
         tra = translate_phases(rings, eff_t[:, None])[:, 0]
         pri = pri * tra
