@@ -20,7 +20,9 @@ def main():
     from thunder_tpu.config import ThunderConfig
     from thunder_tpu.optimiser import Optimiser
     from thunder_tpu.physics.ctf import ctf_params
-    from bench import make_dataset
+    from bench import make_dataset, _enable_compile_cache
+
+    _enable_compile_cache()
 
     rng = np.random.default_rng(0)
     vol, imgs = make_dataset(size, n, rng)
@@ -43,6 +45,9 @@ def main():
     times = {}
 
     def stage(name, fn):
+        # run once to absorb any fresh compiles, then time the rerun
+        out = fn()
+        jax.block_until_ready(jax.tree.leaves(out) or [0])
         t0 = time.time()
         out = fn()
         jax.block_until_ready(jax.tree.leaves(out) or [0])
