@@ -1,0 +1,89 @@
+"""End-to-end 3D classification (demo_3D.json analogue, K=2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from thunder_tpu.config import ThunderConfig
+from thunder_tpu.geometry.quaternion import random_quat, rotate3d
+from thunder_tpu.optimiser import Optimiser
+from thunder_tpu.ops.fourier import ifft2_centered, translate_ft
+from thunder_tpu.ops.projector import prepare_projectee_3d, project_full_3d
+from thunder_tpu.physics.ctf import ctf_image, ctf_params
+from thunder_tpu.physics.mask import radial_grid
+
+
+def make_two_phantom_dataset(size=24, n=64, seed=0, snr=4.0, defocus=500.0):
+    rng = np.random.default_rng(seed)
+    c = size // 2
+    k = np.arange(size) - c
+    kz, ky, kx = np.meshgrid(k, k, k, indexing="ij")
+    # two clearly distinct particles
+    phantom_a = np.fft.ifftshift(
+        np.exp(-((kx - 3) ** 2 + ky**2 + kz**2) / (2 * 2.0**2))
+        + np.exp(-((kx + 3) ** 2 + ky**2 + kz**2) / (2 * 2.0**2))
+    ).astype(np.float32)
+    phantom_b = np.fft.ifftshift(
+        np.exp(-(kx**2 + ky**2 + kz**2) / (2 * 3.5**2))
+    ).astype(np.float32)
+
+    projs = [prepare_projectee_3d(jnp.asarray(p), pf=2)
+             for p in (phantom_a, phantom_b)]
+    quats = random_quat(jax.random.PRNGKey(seed), (n,))
+    rots = rotate3d(quats)
+    trans = rng.uniform(-1.0, 1.0, size=(n, 2))
+    truth = rng.integers(0, 2, n)
+
+    p = ctf_params(np.full(n, 300e3), np.full(n, defocus), np.full(n, defocus),
+                   np.zeros(n), np.full(n, 2e7), np.full(n, 0.1), np.zeros(n))
+    ctf_imgs = np.asarray(ctf_image(p, size, 1.0))
+
+    imgs = []
+    for i in range(n):
+        ft = project_full_3d(projs[truth[i]], rots[i])
+        ft = translate_ft(ft, trans[i, 0], trans[i, 1]) * ctf_imgs[i]
+        im = np.asarray(ifft2_centered(ft))
+        im = im * snr / max(im.std(), 1e-6)
+        im += rng.standard_normal((size, size)).astype(np.float32)
+        imgs.append(im.astype(np.float32))
+    return (phantom_a, phantom_b), np.stack(imgs), truth
+
+
+@pytest.mark.slow
+def test_3d_classification_separates_species():
+    size, n = 24, 64
+    phantoms, imgs, truth = make_two_phantom_dataset(size, n)
+
+    cfg = ThunderConfig(
+        mode="3D", k=2, size=size, pixel_size=1.0, mask_radius=10.0,
+        trans_s=1.0, init_res=3.0, global_search_res=2.4, sym="C1",
+        m_s=1024, m_l_r=16, m_l_t=9, m_reco=12,
+        ignore_res=size * 1.0, trans_search_factor=0.25, seed=3,
+    )
+    ctf = ctf_params(
+        np.full(n, 300e3), np.full(n, 500.0), np.full(n, 500.0),
+        np.zeros(n), np.full(n, 2e7), np.full(n, 0.1), np.zeros(n),
+    )
+    opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64))
+
+    best = 0.0
+    for i in range(6):
+        opt.run_round(i)
+        cls = opt.class_assignments()
+        best = max(best,
+                   float(max((cls == truth).mean(), (cls != truth).mean())))
+    assert best >= 0.8, f"3D class agreement {best}"
+
+    # each class average should match its own phantom better than the other
+    u = np.asarray(radial_grid(size, 3))
+    m = u < size // 2 - 4
+    avgs = opt.class_averages()
+    corr = np.zeros((2, 2))
+    for a in range(2):
+        for b in range(2):
+            corr[a, b] = np.corrcoef(avgs[a][m], phantoms[b][m])[0, 1]
+    # one assignment (direct or swapped) must dominate
+    direct = corr[0, 0] + corr[1, 1]
+    swapped = corr[0, 1] + corr[1, 0]
+    assert max(direct, swapped) > 1.5, corr

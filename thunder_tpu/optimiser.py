@@ -1152,8 +1152,14 @@ class Optimiser:
             self.state[0].refs, self.state[1].refs, n_shells
         )
         fsc_all = np.asarray(fsc_dev)
-        self.state[0].refs = ref_a_new
-        self.state[1].refs = ref_b_new
+        if cfg.gold_standard:
+            self.state[0].refs = ref_a_new
+            self.state[1].refs = ref_b_new
+        else:
+            # no golden standard: one shared reference (Model::avgHemi)
+            avg = (self.state[0].refs + self.state[1].refs) / 2
+            self.state[0].refs = avg
+            self.state[1].refs = avg
         if use_true_fsc:
             # core/masked randomized-phase-corrected FSC replaces the
             # plain curves for the state machine (Model.cpp:411-567)
