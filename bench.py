@@ -96,10 +96,16 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     try:
         ips, dt = run(size, n)
-    except Exception:
+    except Exception as e:
+        # retry once (the remote TPU worker occasionally restarts), then
         # fall back to a smaller box (e.g. HBM limits on small chips)
-        size, n = 64, 128
-        ips, dt = run(size, n)
+        print(f"bench: first attempt failed ({type(e).__name__}); retrying",
+              file=sys.stderr, flush=True)
+        try:
+            ips, dt = run(size, n)
+        except Exception:
+            size, n = 64, 128
+            ips, dt = run(size, n)
     print(json.dumps({
         "metric": f"particle-images/sec/chip, full 3D-refine E-M round, {size}px box",
         "value": round(ips, 3),
