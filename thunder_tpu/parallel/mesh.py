@@ -128,11 +128,9 @@ def sharded_em_step(key, ft_imgs, ctf, sig_rcp, refs, par: pt.ParticleState,
         else:
             rot = rotate3d(par_h.r)
         rings = _Rings(i_col, i_row, size)
-        pri_pc = jnp.stack(
-            [project(Projectee(proj_stack[t], size, pf, size // 2 - 1), rot,
-                     rings) for t in range(k_cls)]
-        )
-        pri = pri_pc[cls_h, jnp.arange(cls_h.shape[0])]
+        from thunder_tpu.ops.projector import project_classed
+
+        pri = project_classed(proj_stack, cls_h, rot, rings, pf, mode_2d)
         dvp = log_dvp_local(dat_w, sctf2, pri, tra, a_term)
         base = jnp.max(dvp, axis=(1, 2), keepdims=True)
         w = jnp.exp(dvp - base)
