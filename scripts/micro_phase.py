@@ -57,13 +57,13 @@ def main():
     a_term = jax.random.normal(ks[6], (L,))
     par = pt.init_particles(ks[7], L, R, T, 1, 3.0, pt.MODE_3D)
 
-    gather = jax.jit(lambda rot: project_classed(
-        proj_stack, cls, rot, _RingsView(rings.i_col, rings.i_row, size),
+    gather = jax.jit(lambda ps, rot: project_classed(
+        ps, cls, rot, _RingsView(rings.i_col, rings.i_row, size),
         pf, False))
-    t = timeit(gather, rot)
+    t = timeit(gather, proj_stack, rot)
     print(f"projector gather   : {t * 1e3:8.1f} ms")
 
-    pri = gather(rot)
+    pri = gather(proj_stack, rot)
     tra = jnp.exp(1j * jax.random.uniform(ks[8], (L, T, P))).astype(jnp.complex64)
     lik = jax.jit(log_dvp_local)
     t = timeit(lik, dat_w, sctf2, pri, tra, a_term)
@@ -82,10 +82,10 @@ def main():
     t = timeit(vari, par)
     print(f"cal_vari_r (eigh)  : {t * 1e3:8.1f} ms")
 
-    step = lambda k: _phase_step(
-        k, par, cls, proj_stack, rings.i_col, rings.i_row, dat_w, sctf2,
+    step = lambda k, ps: _phase_step(
+        k, par, cls, ps, rings.i_col, rings.i_row, dat_w, sctf2,
         a_term, size, pf, pt.MODE_3D, 0.5, 3.0)
-    t = timeit(step, ks[9])
+    t = timeit(step, ks[9], proj_stack)
     print(f"full _phase_step   : {t * 1e3:8.1f} ms")
 
 
