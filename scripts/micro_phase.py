@@ -40,7 +40,9 @@ def main():
     L, R, T = 512, 32, 16
     r = 14
     rings = pack_rings(size, r, 1)
-    P = rings.i_col.shape[0]
+    i_col = np.asarray(rings.i_col)
+    i_row = np.asarray(rings.i_row)
+    P = i_col.shape[0]
     print(f"L={L} R={R} T={T} P={P} (valid {rings.n_valid})")
 
     key = jax.random.PRNGKey(0)
@@ -49,7 +51,7 @@ def main():
     proj_stack = (jax.random.normal(ks[0], (1, big, big, big))
                   + 1j * jax.random.normal(ks[1], (1, big, big, big))
                   ).astype(jnp.complex64)
-    cls = jnp.zeros((L,), jnp.int32)
+    cls = np.zeros((L,), np.int32)  # numpy: closure constants need no d2h
     rot = rotate3d(random_quat(ks[2], (L, R)))
     dat_w = (jax.random.normal(ks[3], (L, P))
              + 1j * jax.random.normal(ks[4], (L, P))).astype(jnp.complex64)
@@ -58,7 +60,7 @@ def main():
     par = pt.init_particles(ks[7], L, R, T, 1, 3.0, pt.MODE_3D)
 
     gather = jax.jit(lambda ps, rot: project_classed(
-        ps, cls, rot, _RingsView(rings.i_col, rings.i_row, size),
+        ps, cls, rot, _RingsView(i_col, i_row, size),
         pf, False))
     t = timeit(gather, proj_stack, rot)
     print(f"projector gather   : {t * 1e3:8.1f} ms")
@@ -83,7 +85,7 @@ def main():
     print(f"cal_vari_r (eigh)  : {t * 1e3:8.1f} ms")
 
     step = lambda k, ps: _phase_step(
-        k, par, cls, ps, rings.i_col, rings.i_row, dat_w, sctf2,
+        k, par, cls, ps, i_col, i_row, dat_w, sctf2,
         a_term, size, pf, pt.MODE_3D, 0.5, 3.0)
     t = timeit(step, ks[9], proj_stack)
     print(f"full _phase_step   : {t * 1e3:8.1f} ms")
