@@ -79,6 +79,17 @@ def main(argv=None):
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
 
+    # persistent compilation cache: repeat runs skip the slow compiles
+    import jax
+
+    try:
+        cache_dir = os.path.expanduser("~/.cache/thunder_tpu_jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from thunder_tpu.config import ThunderConfig
     from thunder_tpu.io.loader import load_images
     from thunder_tpu.io.mrc import read_mrc
