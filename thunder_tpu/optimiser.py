@@ -1106,9 +1106,13 @@ class Optimiser:
             n_phases.append(self.local_phases(h, rings))
         record["n_phases"] = n_phases
 
-        s0 = max(float(jnp.mean(self.state[h].par.s0)) for h in (0, 1))
-        s1 = max(float(jnp.mean(self.state[h].par.s1)) for h in (0, 1))
-        self.model.set_t_vari(s0, s1)
+        # translation-variance statistic over all particles: MEDIAN, as
+        # the reference's stat_MAS (refreshVariance, Optimiser.cpp:5740;
+        # Functions.cpp:254) — stable enough for the 2% stagnation test
+        s0_all = jnp.concatenate([self.state[h].par.s0 for h in (0, 1)])
+        s1_all = jnp.concatenate([self.state[h].par.s1 for h in (0, 1)])
+        self.model.set_t_vari(float(jnp.median(s0_all)),
+                              float(jnp.median(s1_all)))
 
         # maximization (Optimiser::maximization, Optimiser.cpp:3405-3559)
         if i_round != 0 and self.model.search_type != SEARCH_TYPE_GLOBAL:
