@@ -24,3 +24,20 @@ Design stance (vs the reference):
 __version__ = "0.1.0"
 
 from thunder_tpu import constants  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy public API (avoids importing jax at package-import time)
+    if name == "Optimiser":
+        from thunder_tpu.optimiser import Optimiser
+
+        return Optimiser
+    if name == "ThunderConfig":
+        from thunder_tpu.config import ThunderConfig
+
+        return ThunderConfig
+    if name == "Symmetry":
+        from thunder_tpu.geometry.symmetry import Symmetry
+
+        return Symmetry
+    raise AttributeError(name)

@@ -122,6 +122,9 @@ def main(argv=None):
     opt = Optimiser(cfg, images, ctf, thu.group_id - 1, init_refs=init_refs,
                     resume_thu=thu if not cfg.g_search else None)
 
+    from thunder_tpu.utils.logging import RoundMetrics, check_memory
+
+    metrics = RoundMetrics(os.path.join(out_dir, "round_metrics.jsonl"))
     n_rounds = a.max_rounds if a.max_rounds is not None else cfg.iter_max
     for i in range(n_rounds):
         rec = opt.run_round(i)
@@ -130,6 +133,8 @@ def main(argv=None):
             i, rec["r"], rec["search_type"], rec["search_type_after"],
             rec["n_phases"], rec["res_A"], rec["elapsed_s"],
         )
+        metrics.write(rec)
+        check_memory(f"round {i}")
         save_round_artifacts(opt, thu, out_dir, i)
         from thunder_tpu.model import SEARCH_TYPE_STOP
 
