@@ -59,6 +59,7 @@ from thunder_tpu.ops.fourier import (
     PackedRings,
     extract_packed,
     pack_rings,
+    resize_rl,
     translate_phases,
 )
 from thunder_tpu.ops.insert import (
@@ -201,6 +202,22 @@ class _RingsView(NamedTuple):
     i_col: jax.Array
     i_row: jax.Array
     size: int
+
+
+@partial(jax.jit, static_argnames=("size", "pixel_size"))
+def _pack_inputs_jit(ft_masked, ctf_params, sigma, group_id, i_col, i_row,
+                     i_sig, mask, size: int, pixel_size: float):
+    """allocPreCal analogue as one program: gather ring pixels, CTF on
+    the fly, per-group sigma lookup, precombined likelihood operands."""
+    c = size // 2
+    dat = ft_masked[..., c + i_row, c + i_col]
+    ctf = ctf_packed(ctf_params, i_col, i_row, size, pixel_size)
+    sig = sigma[group_id[:, None], i_sig[None, :]]
+    sig_rcp = sigma_to_sig_rcp(sig) * mask
+    dat_w = (sig_rcp * ctf).astype(jnp.complex64) * dat
+    sctf2 = sig_rcp * ctf * ctf
+    a_term = jnp.sum(sig_rcp * jnp.abs(dat) ** 2, axis=-1)
+    return dat_w, sctf2, a_term
 
 
 @partial(jax.jit, static_argnames=("n_shells",))
@@ -512,6 +529,40 @@ def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
     return f_grid, t_grid
 
 
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
+                                   "grid_size"))
+def _insert_all_classes(dat, ctf, mask, i_col, i_row, quats, trans, w_l_all,
+                        sym_mats, max_radius_pad, size: int, pf: int,
+                        mode_2d: bool, n_sym: int, grid_size: int):
+    """All classes' insertions in one program (vmap over the one-hot
+    class weights)."""
+    def one(w_l):
+        return _insert_class(dat, ctf, mask, i_col, i_row, quats, trans,
+                             w_l, sym_mats, max_radius_pad, size, pf,
+                             mode_2d, n_sym, grid_size)
+
+    return jax.vmap(one)(w_l_all)
+
+
+@partial(jax.jit, static_argnames=("grid_size", "pf", "max_radius",
+                                   "map_wiener", "join_half", "grid_corr",
+                                   "out_size"))
+def _reconstruct_all(f_all, t_all, fsc_all, grid_size: int, pf: int,
+                     max_radius: int, map_wiener: bool, join_half: bool,
+                     grid_corr: bool, out_size: int):
+    """Per-class gridding reconstructions in one program, Fourier-
+    upsampled to the output box when the grid was cropped."""
+    def one(f_grid, t_grid, fsc_curve):
+        vol = reconstruct(f_grid, t_grid, fsc_curve, grid_size, pf,
+                          max_radius, map_wiener=map_wiener,
+                          join_half=join_half, grid_corr=grid_corr)
+        if grid_size != out_size:
+            vol = resize_rl(vol, out_size)
+        return vol
+
+    return jax.vmap(one)(f_all, t_all, fsc_all)
+
+
 # ======================================================================
 # host-side orchestration
 # ======================================================================
@@ -684,15 +735,11 @@ class Optimiser:
         cfg = self.cfg
         d = self.data[h]
         s = self.state[h]
-        dat = extract_packed(d.ft_masked, rings)
-        ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row, cfg.size,
-                         cfg.pixel_size)
-        sig = s.sigma[d.group_id[:, None], rings.i_sig[None, :]]
-        sig_rcp = sigma_to_sig_rcp(sig) * rings.mask
-        dat_w = (sig_rcp * ctf).astype(jnp.complex64) * dat
-        sctf2 = sig_rcp * ctf * ctf
-        a_term = jnp.sum(sig_rcp * jnp.abs(dat) ** 2, axis=-1)
-        return dat_w, sctf2, a_term
+        return _pack_inputs_jit(
+            d.ft_masked, d.ctf_params, s.sigma, d.group_id,
+            rings.i_col, rings.i_row, rings.i_sig, rings.mask,
+            cfg.size, float(cfg.pixel_size),
+        )
 
     # -- global search --------------------------------------------------
 
@@ -1076,17 +1123,17 @@ class Optimiser:
         else:
             w_img = jnp.ones((dat.shape[0],), jnp.float32)
 
-        pairs = []
-        for t in range(cfg.k):
-            w_l = (s.cls == t).astype(jnp.float32) * w_img * w_draw
-            f_grid, t_grid = _insert_class(
-                dat, ctf, rings.mask, rings.i_col, rings.i_row,
-                quats, trans, w_l, self.sym.matrices,
-                jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
-                cfg.size, cfg.pf, cfg.mode_2d, self.sym.order,
-                grid_size,
-            )
-            pairs.append((f_grid, t_grid))
+        # all classes in one dispatch: one-hot class weights, vmapped
+        # insertion (Optimiser::reconstructRef's per-class loop)
+        w_l_all = ((s.cls[None, :] == jnp.arange(cfg.k)[:, None])
+                   .astype(jnp.float32) * (w_img * w_draw)[None, :])
+        f_all, t_all = _insert_all_classes(
+            dat, ctf, rings.mask, rings.i_col, rings.i_row,
+            quats, trans, w_l_all, self.sym.matrices,
+            jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
+            cfg.size, cfg.pf, cfg.mode_2d, self.sym.order, grid_size,
+        )
+        pairs = [(f_all[t], t_all[t]) for t in range(cfg.k)]
         return pairs, r_u, grid_size
 
     # -- one full round --------------------------------------------------
@@ -1129,23 +1176,17 @@ class Optimiser:
         # round and feeds it to Reconstructor::reconstruct); the
         # gridding-balance loop runs on the cropped grid, and the
         # result is Fourier-resampled back to the full box
-        from thunder_tpu.ops.fourier import resize_rl
-
-        fsc_prev = self.model.fsc
+        fsc_prev = np.asarray(self.model.fsc, dtype=np.float32)
+        if fsc_prev.shape[0] < cfg.k:
+            fsc_prev = np.broadcast_to(fsc_prev[:1], (cfg.k,) + fsc_prev.shape[1:])
         for h in (0, 1):
-            new_refs = []
-            for t in range(cfg.k):
-                f_grid, t_grid = ft_pairs[h][t]
-                vol = reconstruct(
-                    f_grid, t_grid,
-                    jnp.asarray(fsc_prev[t % fsc_prev.shape[0]], jnp.float32),
-                    grid_size, cfg.pf, r_u,
-                    map_wiener=(not cfg.mode_2d), join_half=False,
-                )
-                if grid_size != cfg.size:
-                    vol = resize_rl(vol, cfg.size)
-                new_refs.append(vol)
-            self.state[h].refs = jnp.stack(new_refs)
+            f_all = jnp.stack([p[0] for p in ft_pairs[h]])
+            t_all = jnp.stack([p[1] for p in ft_pairs[h]])
+            refs = _reconstruct_all(
+                f_all, t_all, jnp.asarray(fsc_prev), grid_size, cfg.pf, r_u,
+                not cfg.mode_2d, False, True, cfg.size,
+            )
+            self.state[h].refs = refs
 
         # golden-standard FSC on the reconstructed references
         # (Model::compareTwoHemispheres, Model.cpp:307-851) + averaging
@@ -1237,26 +1278,20 @@ class Optimiser:
             ft_pairs.append(pairs)
         self.model.r = saved_r
 
-        out = []
-        for t in range(cfg.k):
-            per_h = []
-            for h in (0, 1):
-                f_grid, t_grid = ft_pairs[h][t]
-                vol = reconstruct(
-                    f_grid, t_grid,
-                    jnp.asarray(self.model.fsc[t % self.model.fsc.shape[0]],
-                                jnp.float32),
-                    grid_size, cfg.pf, r_u,
-                    map_wiener=(not cfg.mode_2d), join_half=True,
-                )
-                if grid_size != cfg.size:
-                    from thunder_tpu.ops.fourier import resize_rl
-
-                    vol = resize_rl(vol, cfg.size)
-                per_h.append(vol)
-                self.state[h].refs = self.state[h].refs.at[t].set(vol)
-            out.append(np.asarray((per_h[0] + per_h[1]) / 2))
-        return np.stack(out)
+        fsc_all = np.asarray(self.model.fsc, dtype=np.float32)
+        if fsc_all.shape[0] < cfg.k:
+            fsc_all = np.broadcast_to(fsc_all[:1], (cfg.k,) + fsc_all.shape[1:])
+        per_h = []
+        for h in (0, 1):
+            f_stack = jnp.stack([p[0] for p in ft_pairs[h]])
+            t_stack = jnp.stack([p[1] for p in ft_pairs[h]])
+            refs = _reconstruct_all(
+                f_stack, t_stack, jnp.asarray(fsc_all), grid_size, cfg.pf,
+                r_u, not cfg.mode_2d, True, True, cfg.size,
+            )
+            self.state[h].refs = refs
+            per_h.append(refs)
+        return np.asarray((per_h[0] + per_h[1]) / 2)
 
     def save_subtract(self, mask: np.ndarray):
         """Signal subtraction (saveSubtract, Optimiser.cpp:8418-...):
