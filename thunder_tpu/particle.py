@@ -51,6 +51,15 @@ _CHI2_PPF_TRANSQ_2 = 5.991464547107981  # chisq Qinv(0.05, 2)
 _CHI2_CDF_1_2 = 0.3934693402873666      # chisq P(1, 2)
 _CHI2_CDF_1_1 = 0.6826894921370859      # chisq P(1, 1)
 
+# variance floors: a fully-collapsed support cloud (all points equal)
+# would freeze the perturbation forever AND defeat the reference's
+# stagnation test (0 > 0.98*0 is false) — the reference sketches the
+# same guard as MIN_STD_FACTOR (include/Optimiser.h:69).  Floors keep
+# sub-pixel / sub-degree precision while keeping the filter alive.
+MIN_STD_T = 0.1      # pixels
+MIN_K_R = 1e-5       # rotation concentration (angle ~ sqrt(k) ~ 0.2 deg)
+MIN_STD_D = 1e-4     # defocus factor
+
 
 class ParticleState(NamedTuple):
     r: jax.Array       # (L, nR, 4)
@@ -178,6 +187,7 @@ def from_thu(quat: np.ndarray, trans: np.ndarray, std_trans: np.ndarray,
 def cal_vari_r(state: ParticleState, mode: int) -> ParticleState:
     if mode == MODE_2D:
         _, k = infer_vms(state.r[..., :2])
+        k = jnp.maximum(k, MIN_K_R)
         return state._replace(k1=k, k2=k, k3=k)
 
     def one(r):
@@ -187,12 +197,14 @@ def cal_vari_r(state: ParticleState, mode: int) -> ParticleState:
         return k1, k2, k3
 
     k1, k2, k3 = jax.vmap(one)(state.r)
-    return state._replace(k1=k1, k2=k2, k3=k3)
+    return state._replace(k1=jnp.maximum(k1, MIN_K_R),
+                          k2=jnp.maximum(k2, MIN_K_R),
+                          k3=jnp.maximum(k3, MIN_K_R))
 
 
 def cal_vari_t(state: ParticleState) -> ParticleState:
-    s0 = jnp.std(state.t[..., 0], axis=-1, ddof=1)
-    s1 = jnp.std(state.t[..., 1], axis=-1, ddof=1)
+    s0 = jnp.maximum(jnp.std(state.t[..., 0], axis=-1, ddof=1), MIN_STD_T)
+    s1 = jnp.maximum(jnp.std(state.t[..., 1], axis=-1, ddof=1), MIN_STD_T)
     return state._replace(s0=s0, s1=s1)
 
 
@@ -200,7 +212,7 @@ def cal_vari_d(state: ParticleState) -> ParticleState:
     n_d = state.d.shape[-1]
     if n_d == 1:
         return state._replace(s_d=jnp.zeros_like(state.s_d))
-    s = jnp.std(state.d, axis=-1, ddof=1)
+    s = jnp.maximum(jnp.std(state.d, axis=-1, ddof=1), MIN_STD_D)
     return state._replace(s_d=s)
 
 
