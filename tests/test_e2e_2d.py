@@ -47,6 +47,7 @@ def test_2d_classification_converges():
         trans_s=2.0, init_res=8.0, global_search_res=4.0, sym="C1",
         m_s_2d=64, m_l_r_2d=9, m_l_t=9, m_reco=20,
         ignore_res=size * 1.0, trans_search_factor=0.25,
+        ref_auto_recentre=False,  # test phantoms are deliberately off-center
         seed=5,  # tiny-N 2-class runs are collapse-prone; CPU RNG is
                  # deterministic so pin a converging stream (real-data
                  # scale, K=30 / 10k particles, is robust to this)

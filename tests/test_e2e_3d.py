@@ -61,6 +61,7 @@ def test_3d_refinement_improves_reference():
         trans_s=1.5, init_res=3.0, global_search_res=2.4, sym="C1",
         m_s=2048, m_l_r=32, m_l_t=9, m_reco=16,
         ignore_res=size * 1.0, trans_search_factor=0.25,
+        ref_auto_recentre=False,  # test phantoms are deliberately off-center
     )
     ctf = ctf_params(
         np.full(n, 300e3), np.full(n, 500.0), np.full(n, 500.0),

@@ -544,6 +544,34 @@ def _insert_all_classes(dat, ctf, mask, i_col, i_row, quats, trans, w_l_all,
     return jax.vmap(one)(w_l_all)
 
 
+@partial(jax.jit, static_argnames=("mode_2d",))
+def _recentre_refs(refs, o_class, mode_2d: bool):
+    """Translate per-class references by -o (Fourier phase ramp on the
+    centered spectrum; x/y only — the z offset is unobservable from 2D
+    data, as in the reference's PG_CN-only branch)."""
+    size = refs.shape[-1]
+    c = size // 2
+    k = jnp.arange(size, dtype=jnp.float32) - c
+    nd = 2 if mode_2d else 3
+    axes = tuple(range(1, nd + 1))
+    ft = jnp.fft.fftshift(jnp.fft.fftn(refs, axes=axes), axes=axes)
+    ox = o_class[:, 0]
+    oy = o_class[:, 1]
+    if mode_2d:
+        phase = (2 * jnp.pi / size) * (
+            k[None, None, :] * ox[:, None, None]
+            + k[None, :, None] * oy[:, None, None]
+        )
+    else:
+        phase = (2 * jnp.pi / size) * (
+            k[None, None, None, :] * ox[:, None, None, None]
+            + k[None, None, :, None] * oy[:, None, None, None]
+        )
+    # translate by -o: multiply by exp(+2 pi i f.o / N)
+    ft = ft * jnp.exp(1j * phase).astype(ft.dtype)
+    return jnp.real(jnp.fft.ifftn(jnp.fft.ifftshift(ft, axes=axes), axes=axes))
+
+
 @partial(jax.jit, static_argnames=("grid_size", "pf", "max_radius",
                                    "map_wiener", "join_half", "grid_corr",
                                    "out_size"))
@@ -1187,6 +1215,22 @@ class Optimiser:
                 not cfg.mode_2d, False, True, cfg.size,
             )
             self.state[h].refs = refs
+
+        # reference auto-recentring (reconstructRef, Optimiser.cpp:
+        # 7382-7427): shift each class reference by minus the mean
+        # rank-1 translation of its images (the O accumulator /
+        # allReduceO path); Cn-symmetric groups only, and only when no
+        # explicit mask drives the geometry
+        if cfg.ref_auto_recentre and self._ref_mask is None and (
+            cfg.mode_2d or self.sym.name.startswith("C")
+        ):
+            for h in (0, 1):
+                s = self.state[h]
+                eff_t = s.par.top_t - self.offset[h]
+                one_hot = (s.cls[None, :] == jnp.arange(cfg.k)[:, None])
+                cnt = jnp.maximum(jnp.sum(one_hot, axis=1), 1)
+                o_class = (one_hot.astype(jnp.float32) @ eff_t) / cnt[:, None]
+                s.refs = _recentre_refs(s.refs, o_class, cfg.mode_2d)
 
         # golden-standard FSC on the reconstructed references
         # (Model::compareTwoHemispheres, Model.cpp:307-851) + averaging
