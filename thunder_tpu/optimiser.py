@@ -544,6 +544,26 @@ def _insert_all_classes(dat, ctf, mask, i_col, i_row, quats, trans, w_l_all,
     return jax.vmap(one)(w_l_all)
 
 
+@partial(jax.jit, static_argnames=("mode", "fold_sym"))
+def _finish_phases(par: pt.ParticleState, sym_quats, mode: int,
+                   fold_sym: bool):
+    """Score + asymmetric-unit folding after the phase loop, fused into
+    one dispatch (calScore + Particle::symmetrise)."""
+    par = pt.cal_score(par, mode)
+    if fold_sym:
+        from thunder_tpu.geometry.quaternion import quat_conj, quat_mul
+
+        anchor = jnp.asarray([1.0, 0.0, 0.0, 0.0], par.top_r.dtype)
+        sq = sym_quats.astype(par.top_r.dtype)
+        cand = jax.vmap(lambda s: quat_mul(quat_conj(s), par.top_r))(sq)
+        score = jnp.abs(jnp.einsum("o...q,q->o...", cand, anchor))
+        best = jnp.argmax(score, axis=0)
+        par = par._replace(
+            top_r=jnp.take_along_axis(cand, best[None, ..., None], axis=0)[0]
+        )
+    return par
+
+
 @partial(jax.jit, static_argnames=("mode_2d",))
 def _recentre_refs(refs, o_class, mode_2d: bool):
     """Translate per-class references by -o (Fourier phase ramp on the
@@ -904,9 +924,8 @@ class Optimiser:
                 MAX_N_PHASE_PER_ITER,
             )
             n_phases = int(phase)
-        par = pt.cal_score(par, self.mode)
-        if self.sym.order > 1 and not cfg.mode_2d:
-            par = pt.symmetrise_top(par, self.sym)
+        par = _finish_phases(par, self.sym.quats, self.mode,
+                             self.sym.order > 1 and not cfg.mode_2d)
         s.par = par
         return n_phases
 
