@@ -1,0 +1,157 @@
+"""Generate a self-contained synthetic demo dataset + config.
+
+    python examples/make_synthetic_demo.py [outdir] [--mode 2D|3D]
+        [--n 1024] [--size 64] [--k 3]
+
+Then run the full workflow:
+
+    python -m thunder_tpu.cli.thunder <outdir>/demo.json
+    python -m thunder_tpu.cli.stackview show -i <outdir>/output/Reference_Round_000.mrcs -o classes.png
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("outdir", nargs="?", default="./synthetic_demo")
+    p.add_argument("--mode", default="2D", choices=["2D", "3D"])
+    p.add_argument("--n", type=int, default=1024)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--snr", type=float, default=3.0)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from thunder_tpu.geometry.quaternion import random_quat, rotate3d
+    from thunder_tpu.io.mrc import write_mrc
+    from thunder_tpu.io.thu import ThuTable, write_thu
+    from thunder_tpu.ops.fourier import ifft2_centered, translate_ft
+    from thunder_tpu.ops.projector import prepare_projectee_3d, project_full_3d
+    from thunder_tpu.physics.ctf import ctf_image, ctf_params
+
+    os.makedirs(a.outdir, exist_ok=True)
+    rng = np.random.default_rng(a.seed)
+    size, n, k = a.size, a.n, a.k
+    c = size // 2
+    kv = np.arange(size) - c
+
+    defocus = rng.uniform(8000, 20000, n)
+    params = ctf_params(np.full(n, 300e3), defocus, defocus * rng.uniform(0.9, 1.1, n),
+                        rng.uniform(0, np.pi, n), np.full(n, 2e7),
+                        np.full(n, 0.1), np.zeros(n))
+    truth = rng.integers(0, k, n)
+    trans = rng.uniform(-3, 3, (n, 2))
+
+    if a.mode == "2D":
+        ky, kx = np.meshgrid(kv, kv, indexing="ij")
+        temps = []
+        for t in range(k):
+            img = np.zeros((size, size), np.float32)
+            for _ in range(3 + t):
+                ox, oy = rng.uniform(-size / 6, size / 6, 2)
+                s = rng.uniform(size / 24, size / 12)
+                img += np.exp(-((kx - ox) ** 2 + (ky - oy) ** 2) / (2 * s * s))
+            temps.append(img)
+        from scipy.ndimage import rotate, shift
+
+        ctf_imgs = np.asarray(ctf_image(params, size, 1.32))
+        imgs = np.empty((n, size, size), np.float32)
+        for i in range(n):
+            im = rotate(temps[truth[i]], rng.uniform(0, 360), reshape=False,
+                        order=1)
+            im = shift(im, trans[i], order=1)
+            # internal FFT layout -> centered spectrum -> apply CTF
+            im_fft = np.fft.ifftshift(im)
+            ft = np.fft.fftshift(np.fft.fft2(im_fft)) * ctf_imgs[i]
+            im_fft = np.real(np.fft.ifft2(np.fft.ifftshift(ft)))
+            imgs[i] = (im_fft * a.snr / max(im_fft.std(), 1e-9)
+                       + rng.standard_normal((size, size))).astype(np.float32)
+        # imgs are in internal layout; write_mrc shifts to file layout
+        write_mrc(os.path.join(a.outdir, "particles.mrcs"), imgs, 1.32,
+                  is_stack=True)
+    else:
+        kz, ky, kx = np.meshgrid(kv, kv, kv, indexing="ij")
+        vol = np.zeros((size,) * 3, np.float32)
+        for _ in range(6):
+            o = rng.uniform(-size / 6, size / 6, 3)
+            s = rng.uniform(size / 24, size / 10)
+            vol += np.exp(-(((kx - o[0]) ** 2 + (ky - o[1]) ** 2
+                             + (kz - o[2]) ** 2) / (2 * s * s)))
+        vol_i = np.fft.ifftshift(vol).astype(np.float32)
+        write_mrc(os.path.join(a.outdir, "init_model.mrc"), vol_i, 1.32)
+        proj = prepare_projectee_3d(jnp.asarray(vol_i), 2)
+        quats = random_quat(jax.random.PRNGKey(a.seed), (n,))
+        rots = rotate3d(quats)
+        ctf_imgs = np.asarray(ctf_image(params, size, 1.32))
+        imgs = np.empty((n, size, size), np.float32)
+        for i in range(n):
+            ft = project_full_3d(proj, rots[i])
+            ft = translate_ft(ft, trans[i, 0], trans[i, 1]) * ctf_imgs[i]
+            im = np.asarray(ifft2_centered(ft))
+            imgs[i] = (im * a.snr / max(im.std(), 1e-9)
+                       + rng.standard_normal((size, size))).astype(np.float32)
+        write_mrc(os.path.join(a.outdir, "particles.mrcs"), imgs, 1.32,
+                  is_stack=True)
+        truth = np.zeros(n, np.int64)
+
+    t = ThuTable.blank(n, voltage=300e3)
+    t.defocus_u = np.asarray(params.defocus_u)
+    t.defocus_v = np.asarray(params.defocus_v)
+    t.defocus_theta = np.asarray(params.defocus_theta)
+    t.cs = np.asarray(params.cs)
+    t.amplitude_contrast = np.asarray(params.amplitude_contrast)
+    t.particle_path = [f"{i + 1:06d}@particles.mrcs" for i in range(n)]
+    t.class_id = truth
+    write_thu(os.path.join(a.outdir, "particles.thu"), t)
+    np.save(os.path.join(a.outdir, "truth.npy"), truth)
+
+    config = {
+        "Basic": {
+            "2D or 3D Mode": a.mode,
+            "Global Search": True,
+            "Local Search": True,
+            "CTF Search": False,
+            "Number of Classes": k if a.mode == "2D" else 1,
+            "Size of Image": size,
+            "Pixel Size (Angstrom)": 1.32,
+            "Radius of Mask on Images (Angstrom)": size * 1.32 / 2 * 0.85,
+            "Estimated Translation (Pixel)": 4,
+            "Initial Resolution (Angstrom)": size * 1.32 / 6,
+            "Perform Global Search Under (Angstrom)": size * 1.32 / 12,
+            "Symmetry": "C1",
+            "Initial Model": (os.path.join(a.outdir, "init_model.mrc")
+                              if a.mode == "3D" else ""),
+            ".thu File Storing Paths and CTFs of Images":
+                os.path.join(a.outdir, "particles.thu"),
+            "Path of Particles": a.outdir + "/",
+            "Path of Output": os.path.join(a.outdir, "output") + "/",
+        },
+        "Advanced": {
+            "Max Number of Iteration": 20,
+            "Number of Sampling Points for Scanning in Global Search (2D)": 100,
+            "Number of Sampling Points for Scanning in Global Search (3D)": 4096,
+            "Number of Sampling Points of Rotation in Local Search (2D)": 9,
+            "Number of Sampling Points of Rotation in Local Search (3D)": 64,
+            "Number of Sampling Points of Translation in Local Search": 9,
+            "Number of Sampling Points Used in Reconstruction": 50,
+            "Ignore Signal Under (Angstrom)": size * 1.32,
+        },
+        "Professional": {"Translation Search Factor": 0.25},
+    }
+    with open(os.path.join(a.outdir, "demo.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    print(f"wrote {a.outdir}: particles.mrcs, particles.thu, demo.json")
+
+
+if __name__ == "__main__":
+    main()
