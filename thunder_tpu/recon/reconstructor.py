@@ -39,14 +39,7 @@ from thunder_tpu.constants import (
     DEFAULT_MKB_A,
     DEFAULT_MKB_ALPHA,
 )
-from thunder_tpu.ops.fourier import (
-    extract_rl,
-    fft2_centered,
-    fft3_centered,
-    ifft2_centered,
-    ifft3_centered,
-)
-from thunder_tpu.physics.kernels import mkb_rl, tik_rl
+from thunder_tpu.ops.fourier import extract_rl
 from thunder_tpu.physics.mask import radial_grid
 from thunder_tpu.physics.spectrum import _shell_geometry
 
