@@ -28,6 +28,40 @@ import jax
 import jax.numpy as jnp
 
 
+# -- device-side coordinate grids ---------------------------------------
+# (iota-based: computed inside the compiled program instead of being
+# embedded as multi-hundred-MB array constants at big box sizes)
+
+
+def radial_grid_dev(size: int, ndim: int) -> jax.Array:
+    """Wrapped (FFT-layout) distance-from-origin grid, on device."""
+    k = jnp.arange(size, dtype=jnp.float32)
+    k = jnp.minimum(k, size - k)
+    q = 0.0
+    for d in range(ndim):
+        shape = [1] * ndim
+        shape[d] = size
+        q = q + (k.reshape(shape)) ** 2
+    return jnp.sqrt(q)
+
+
+def centered_quad_dev(size: int, ndim: int) -> jax.Array:
+    """|k|^2 over the centered grid, on device."""
+    c = size // 2
+    k = jnp.arange(size, dtype=jnp.float32) - c
+    q = 0.0
+    for d in range(ndim):
+        shape = [1] * ndim
+        shape[d] = size
+        q = q + (k.reshape(shape)) ** 2
+    return q
+
+
+def centered_shell_dev(size: int, ndim: int) -> jax.Array:
+    """round(|k|) integer shell index over the centered grid, on device."""
+    return jnp.rint(jnp.sqrt(centered_quad_dev(size, ndim))).astype(jnp.int32)
+
+
 # -- centered transforms ------------------------------------------------
 
 def fft2_centered(x: jax.Array) -> jax.Array:

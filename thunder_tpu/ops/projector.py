@@ -25,9 +25,9 @@ from thunder_tpu.ops.fourier import (
     fft2_centered,
     fft3_centered,
     pad_rl,
+    radial_grid_dev,
 )
 from thunder_tpu.physics.kernels import tik_rl, nik_rl
-from thunder_tpu.physics.mask import radial_grid
 from thunder_tpu.ops.fourier import PackedRings
 
 
@@ -47,7 +47,7 @@ def prepare_projectee_2d(ref_rl: jax.Array, pf: int = 2,
     size = ref_rl.shape[-1]
     padded = pad_rl(ref_rl, pf)
     big = size * pf
-    r = radial_grid(big, 2) / (pf * big)
+    r = radial_grid_dev(big, 2) / (pf * big)
     corr = tik_rl(r) if interp == "linear" else nik_rl(r)
     padded = padded / corr
     return Projectee(fft2_centered(padded).astype(jnp.complex64), size, pf,
@@ -62,7 +62,7 @@ def prepare_projectee_3d(ref_rl: jax.Array, pf: int = 2,
     size = ref_rl.shape[-1]
     padded = pad_rl(ref_rl, pf)
     big = size * pf
-    r = radial_grid(big, 3) / (pf * big)
+    r = radial_grid_dev(big, 3) / (pf * big)
     corr = tik_rl(r) if interp == "linear" else nik_rl(r)
     padded = padded / corr
     return Projectee(fft3_centered(padded).astype(jnp.complex64), size, pf,

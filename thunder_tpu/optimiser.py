@@ -78,7 +78,7 @@ from thunder_tpu.ops.projector import (
     project_classed,
 )
 from thunder_tpu.physics.ctf import CtfParams, ctf_packed
-from thunder_tpu.physics.spectrum import _shell_geometry
+# (spectrum shell helpers are host-side only; device paths use ops.fourier iota grids)
 from thunder_tpu.pipeline.preprocess import (
     init_sigma,
     preprocess_images,
@@ -235,9 +235,12 @@ def _compare_refs(ref_a, ref_b, n_shells: int):
     fb = jnp.fft.fftshift(jnp.fft.fftn(ref_b, axes=axes), axes=axes)
 
     size = ref_a.shape[-1]
-    u, half = _shell_geometry(size, nd)
-    u = jnp.asarray(u)
-    half = jnp.asarray(half)
+    from thunder_tpu.ops.fourier import centered_shell_dev
+
+    c0 = size // 2
+    u = centered_shell_dev(size, nd)
+    kx = (jnp.arange(size, dtype=jnp.int32) - c0).reshape((1,) * (nd - 1) + (size,))
+    half = jnp.broadcast_to((kx >= 0) | (kx == -c0), (size,) * nd)
     u_cl = jnp.minimum(u, n_shells)
 
     def shell_sum_batch(vals):

@@ -39,48 +39,43 @@ from thunder_tpu.constants import (
     DEFAULT_MKB_A,
     DEFAULT_MKB_ALPHA,
 )
-from thunder_tpu.ops.fourier import extract_rl
-from thunder_tpu.physics.mask import radial_grid
-from thunder_tpu.physics.spectrum import _shell_geometry
+from thunder_tpu.ops.fourier import (
+    centered_quad_dev,
+    centered_shell_dev,
+    extract_rl,
+    radial_grid_dev,
+)
+from thunder_tpu.physics.kernels import mkb_rl, tik_rl
 
 
-@lru_cache(maxsize=32)
-def _pad_shell_index(big: int, ndim: int) -> np.ndarray:
-    u, _ = _shell_geometry(big, ndim)
-    return u
+def _pad_shell_index(big: int, ndim: int) -> jax.Array:
+    """Integer shell index on device (no huge embedded constants)."""
+    return centered_shell_dev(big, ndim)
 
 
-def _mkb_rl_np(r: np.ndarray, a: float, alpha: float) -> np.ndarray:
-    """Numpy mirror of physics.kernels.mkb_rl (order 0)."""
+def _mkb_rl_nf(a: float, alpha: float) -> float:
+    """MKB_RL(0) normalization as a python scalar."""
     from scipy.special import i0 as i0_np
 
-    u = 2 * np.pi * a * r
-    v = np.sqrt(np.abs(alpha * alpha - u * u))
-    v = np.maximum(v, 1e-12)
-    w = (2 * np.pi) ** 1.5 * a**3 / i0_np(alpha) / v**1.5
+    v = float(alpha)
     i32 = np.sqrt(2 / (np.pi * v)) * (np.cosh(v) - np.sinh(v) / v)
-    j32 = np.sqrt(2 / (np.pi * v)) * (np.sin(v) / v - np.cos(v))
-    return w * np.where(u <= alpha, i32, j32)
+    return float((2 * np.pi) ** 1.5 * a**3 / i0_np(alpha) / v**1.5 * i32)
 
 
-@lru_cache(maxsize=32)
-def _mkb_window(big: int, ndim: int, a: float, alpha: float) -> np.ndarray:
+def _mkb_window(big: int, ndim: int, a: float, alpha: float) -> jax.Array:
     """Real-space MKB window over the padded FFT-layout grid, normalized
     to 1 at the origin (convoluteC, Reconstructor.cpp:2595-2674).
-    Numpy: trace-safe cached constant."""
-    r = radial_grid(big, ndim) / big
-    nf = _mkb_rl_np(np.asarray(1e-8), a, alpha)
-    return (_mkb_rl_np(r, a, alpha) / nf).astype(np.float32)
+    Computed on device (iota-based; constants would be ~0.5 GB at big
+    boxes and choke compilation)."""
+    r = radial_grid_dev(big, ndim) / big
+    return (mkb_rl(r, a, alpha) / _mkb_rl_nf(a, alpha)).astype(jnp.float32)
 
 
-@lru_cache(maxsize=32)
-def _tik_correction(size: int, ndim: int, pf: int) -> np.ndarray:
+def _tik_correction(size: int, ndim: int, pf: int) -> jax.Array:
     """Real-space trilinear kernel FT over the unpadded FFT-layout grid
-    (final correction, Reconstructor.cpp:1784-1818)."""
-    r = radial_grid(size, ndim) / (pf * size)
-    x = np.pi * r
-    s = np.where(x == 0, 1.0, np.sin(np.maximum(x, 1e-30)) / np.maximum(x, 1e-30))
-    return (s * s).astype(np.float32)
+    (final correction, Reconstructor.cpp:1784-1818); device-computed."""
+    r = radial_grid_dev(size, ndim) / (pf * size)
+    return tik_rl(r).astype(jnp.float32)
 
 
 def wiener_filter_t(t_grid: jax.Array, fsc_curve: jax.Array, pf: int,
@@ -122,9 +117,7 @@ def balance_weights(t_grid: jax.Array, pf: int, max_radius: int,
     def to_half(x):
         return jnp.fft.ifftshift(x, axes=axes)[..., :c + 1]
 
-    quad_inside_h = to_half(
-        jnp.asarray(_quad_inside(big, ndim, max_radius * pf))
-    )
+    quad_inside_h = to_half(_quad_inside(big, ndim, max_radius * pf))
     t_half = to_half(jnp.maximum(t_grid, T_MIN))
     w0 = jnp.where(quad_inside_h, 1.0, 0.0).astype(jnp.float32)
 
@@ -158,39 +151,27 @@ def balance_weights(t_grid: jax.Array, pf: int, max_radius: int,
     w_half, _, _, _, _ = jax.lax.while_loop(cond, body, state)
 
     # expand the real, even W back to the full centered grid by mirror
-    idx = [np.arange(big) for _ in range(ndim)]
-    mirror = [(-np.arange(big)) % big for _ in range(ndim)]
-    # full corner-layout: for kx <= c take w_half directly; else mirror
-    kx = np.arange(big)
-    take_mirror = kx > c
-    gx = np.where(take_mirror, (big - kx) % big, kx)          # source kx
-    gx_col = np.minimum(gx, c)
+    # (device-side iota indices; constant index cubes would be GBs at
+    # big boxes)
+    idx = jnp.arange(big, dtype=jnp.int32)
+    mirror = (big - idx) % big
+    take_mirror = idx > c
+    gx_col = jnp.minimum(jnp.where(take_mirror, mirror, idx), c)
     if ndim == 3:
-        gz = jnp.asarray(np.where(take_mirror[None, None, :],
-                                  mirror[0][:, None, None], idx[0][:, None, None]))
-        gy = jnp.asarray(np.where(take_mirror[None, None, :],
-                                  mirror[1][None, :, None], idx[1][None, :, None]))
-        gxc = jnp.asarray(np.broadcast_to(gx_col[None, None, :], (big, big, big)))
-        w_full = w_half[gz, gy, gxc]
+        gz = jnp.where(take_mirror[None, None, :], mirror[:, None, None],
+                       idx[:, None, None])
+        gy = jnp.where(take_mirror[None, None, :], mirror[None, :, None],
+                       idx[None, :, None])
+        w_full = w_half[gz, gy, gx_col[None, None, :]]
     else:
-        gy = jnp.asarray(np.where(take_mirror[None, :],
-                                  mirror[0][:, None], idx[0][:, None]))
-        gxc = jnp.asarray(np.broadcast_to(gx_col[None, :], (big, big)))
-        w_full = w_half[gy, gxc]
+        gy = jnp.where(take_mirror[None, :], mirror[:, None], idx[:, None])
+        w_full = w_half[gy, gx_col[None, :]]
     return jnp.fft.fftshift(w_full, axes=axes)
 
 
-@lru_cache(maxsize=32)
-def _quad_inside(big: int, ndim: int, radius: float) -> np.ndarray:
-    c = big // 2
-    k = np.arange(big) - c
-    if ndim == 2:
-        ky, kx = np.meshgrid(k, k, indexing="ij")
-        q = kx * kx + ky * ky
-    else:
-        kz, ky, kx = np.meshgrid(k, k, k, indexing="ij")
-        q = kx * kx + ky * ky + kz * kz
-    return q < radius**2
+def _quad_inside(big: int, ndim: int, radius: float) -> jax.Array:
+    """|k|^2 < radius^2 over the centered grid, on device."""
+    return centered_quad_dev(big, ndim) < radius**2
 
 
 def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
