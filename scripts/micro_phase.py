@@ -48,25 +48,31 @@ def main():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 10)
     big = size * pf
-    proj_stack = (jax.random.normal(ks[0], (1, big, big, big))
-                  + 1j * jax.random.normal(ks[1], (1, big, big, big))
-                  ).astype(jnp.complex64)
     cls = np.zeros((L,), np.int32)  # numpy: closure constants need no d2h
-    rot = rotate3d(random_quat(ks[2], (L, R)))
-    dat_w = (jax.random.normal(ks[3], (L, P))
-             + 1j * jax.random.normal(ks[4], (L, P))).astype(jnp.complex64)
-    sctf2 = -jnp.abs(jax.random.normal(ks[5], (L, P)))
-    a_term = jax.random.normal(ks[6], (L,))
+
+    @jax.jit
+    def make_inputs(ks):
+        proj_stack = (jax.random.normal(ks[0], (1, big, big, big))
+                      + 1j * jax.random.normal(ks[1], (1, big, big, big))
+                      ).astype(jnp.complex64)
+        rot = rotate3d(random_quat(ks[2], (L, R)))
+        dat_w = (jax.random.normal(ks[3], (L, P))
+                 + 1j * jax.random.normal(ks[4], (L, P))).astype(jnp.complex64)
+        sctf2 = -jnp.abs(jax.random.normal(ks[5], (L, P)))
+        a_term = jax.random.normal(ks[6], (L,))
+        tra = jnp.exp(1j * jax.random.uniform(ks[8], (L, T, P))).astype(jnp.complex64)
+        return proj_stack, rot, dat_w, sctf2, a_term, tra
+
+    proj_stack, rot, dat_w, sctf2, a_term, tra = make_inputs(jnp.stack(list(ks[:9])))
     par = pt.init_particles(ks[7], L, R, T, 1, 3.0, pt.MODE_3D)
 
-    gather = jax.jit(lambda ps, rot: project_classed(
-        ps, cls, rot, _RingsView(i_col, i_row, size),
-        pf, False))
-    t = timeit(gather, proj_stack, rot)
-    print(f"projector gather   : {t * 1e3:8.1f} ms")
+    gather = jax.jit(lambda ps, cl, rot: project_classed(
+        ps, cl, rot, _RingsView(i_col, i_row, size), pf, False))
+    cls_d = jnp.asarray(cls)
+    t = timeit(gather, proj_stack, cls_d, rot)
+    print(f"projector gather   : {t * 1e3:8.1f} ms", flush=True)
 
-    pri = gather(proj_stack, rot)
-    tra = jnp.exp(1j * jax.random.uniform(ks[8], (L, T, P))).astype(jnp.complex64)
+    pri = gather(proj_stack, cls_d, rot)
     lik = jax.jit(log_dvp_local)
     t = timeit(lik, dat_w, sctf2, pri, tra, a_term)
     print(f"likelihood matmul  : {t * 1e3:8.1f} ms")
