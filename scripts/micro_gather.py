@@ -10,14 +10,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, *args, n=5):
+    """Times with a forced d2h sync (block_until_ready through the
+    remote relay can return before execution finishes)."""
     import jax
+    import numpy as _np
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    _np.asarray(jax.tree.leaves(out)[0])  # d2h of the float scalar
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _np.asarray(jax.tree.leaves(out)[0])
     return (time.time() - t0) / n
 
 
@@ -113,11 +116,63 @@ def main():
         lin = (iz * big + iy) * big + ix
         return jnp.take(vol.reshape(-1), lin, axis=0)
 
-    for name, fn in (("4d-index", v_4d), ("flat-take", v_flat),
-                     ("flat-split-ri", v_flat_split),
-                     ("nearest-1tap", v_nearest)):
-        t = timeit(fn, vol, x, y, z)
+    vols = vol[None]  # (K=1, big, big, big)
+    cls = jnp.zeros((L,), jnp.int32)
+
+    @jax.jit
+    def v_stack_vi(vols, cls, x, y, z):
+        ix, iy, iz, wx, wy, wz = corners(x, y, z)
+        vi = cls.reshape(L, 1, 1)
+        out = 0.0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    w = ((wz if dz else 1 - wz) * (wy if dy else 1 - wy)
+                         * (wx if dx else 1 - wx))
+                    out += vols[vi, jnp.clip(iz + dz, 0, big - 1),
+                                jnp.clip(iy + dy, 0, big - 1),
+                                jnp.clip(ix + dx, 0, big - 1)] * w.astype(vols.dtype)
+        return out
+
+    @jax.jit
+    def v_stack_zfold(vols, cls, x, y, z):
+        # fold the class index into z: one 3-index gather from a
+        # (K*big, big, big) view
+        k_cls = vols.shape[0]
+        volz = vols.reshape(k_cls * big, big, big)
+        ix, iy, iz, wx, wy, wz = corners(x, y, z)
+        zoff = (cls * big).reshape(L, 1, 1)
+        out = 0.0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    w = ((wz if dz else 1 - wz) * (wy if dy else 1 - wy)
+                         * (wx if dx else 1 - wx))
+                    out += volz[jnp.clip(iz + dz, 0, big - 1) + zoff,
+                                jnp.clip(iy + dy, 0, big - 1),
+                                jnp.clip(ix + dx, 0, big - 1)] * w.astype(vols.dtype)
+        return out
+
+    def summed(fn):
+        return jax.jit(lambda *a: jnp.real(fn(*a)).sum())
+
+    for name, fn, args in (
+        ("4d-index", v_4d, (vol, x, y, z)),
+        ("flat-take", v_flat, (vol, x, y, z)),
+        ("flat-split-ri", v_flat_split, (vol, x, y, z)),
+        ("nearest-1tap", v_nearest, (vol, x, y, z)),
+        ("stack-vi", v_stack_vi, (vols, cls, x, y, z)),
+        ("stack-zfold", v_stack_zfold, (vols, cls, x, y, z)),
+    ):
+        t = timeit(summed(fn), *args)
         print(f"{name:15s}: {t * 1e3:8.1f} ms", flush=True)
+
+    err_fn = jax.jit(lambda vols, cls, x, y, z: jnp.abs(
+        v_stack_vi(vols, cls, x, y, z) - v_4d(vols[0], x, y, z)).max())
+    print("stack-vi max err vs 4d:", float(err_fn(vols, cls, x, y, z)), flush=True)
+    err_fn2 = jax.jit(lambda vols, cls, x, y, z: jnp.abs(
+        v_stack_zfold(vols, cls, x, y, z) - v_4d(vols[0], x, y, z)).max())
+    print("stack-zfold max err vs 4d:", float(err_fn2(vols, cls, x, y, z)), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ def main():
     from thunder_tpu.geometry.quaternion import random_quat, rotate3d
     from thunder_tpu.ops.fourier import pack_rings
     from thunder_tpu.ops.likelihood import log_dvp_local
-    from thunder_tpu.ops.projector import project_classed
+    from thunder_tpu.ops.projector import project_classed, ri_split
     from thunder_tpu.optimiser import _phase_step, _RingsView
 
     size, pf = 128, 2
@@ -61,7 +61,7 @@ def main():
         sctf2 = -jnp.abs(jax.random.normal(ks[5], (L, P)))
         a_term = jax.random.normal(ks[6], (L,))
         tra = jnp.exp(1j * jax.random.uniform(ks[8], (L, T, P))).astype(jnp.complex64)
-        return proj_stack, rot, dat_w, sctf2, a_term, tra
+        return ri_split(proj_stack), rot, dat_w, sctf2, a_term, tra
 
     proj_stack, rot, dat_w, sctf2, a_term, tra = make_inputs(jnp.stack(list(ks[:9])))
     par = pt.init_particles(ks[7], L, R, T, 1, 3.0, pt.MODE_3D)

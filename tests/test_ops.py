@@ -110,7 +110,7 @@ def test_pack_rings_counts():
     assert q.min() >= 4 and q.max() < 100
     v = np.rint(np.sqrt(q)).astype(int)
     assert v.min() >= 2 and v.max() < 10
-    assert rings.i_col.shape[0] % 128 == 0
+    assert rings.i_col.shape[0] % 8 == 0
     # no duplicate (0, -j)
     assert not np.any((i[m] == 0) & (j[m] < 0))
 

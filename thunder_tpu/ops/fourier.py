@@ -172,10 +172,14 @@ class PackedRings(NamedTuple):
 
 
 @lru_cache(maxsize=32)
-def pack_rings(size: int, r_u: int, r_l: int = 0, lane: int = 128) -> PackedRings:
+def pack_rings(size: int, r_u: int, r_l: int = 0, lane: int = 8) -> PackedRings:
     """Enumerate half-space frequencies with r_l <= round(|f|) < r_u and
     r_l^2 <= |f|^2 < r_u^2 (both conditions, Optimiser.cpp:8013-8025),
-    skipping the duplicate (i == 0, j < 0) half-column."""
+    skipping the duplicate (i == 0, j < 0) half-column.
+
+    Lane granularity 8 (not 128): the projector's per-pixel gather cost
+    scales with padded p, while the downstream MXU matmuls tolerate any
+    p (XLA pads tiles internally) — so slim padding wins overall."""
     cols, rows, sigs = [], [], []
     for j in range(-r_u, r_u + 1):
         for i in range(0, r_u + 1):

@@ -69,9 +69,20 @@ def prepare_projectee_3d(ref_rl: jax.Array, pf: int = 2,
                      size // 2 - 1)
 
 
+def _flat_ok(arr) -> bool:
+    """True when the array can be addressed by a single int32 linear
+    index — the precondition for the fast flattened-take gather path
+    (multi-dim advanced indexing lowers to a slower TPU gather path;
+    measured in scripts/micro_gather.py)."""
+    n = 1
+    for d in arr.shape:
+        n *= d
+    return n < 2**31
+
+
 def _gather_trilinear_3d(vol: jax.Array, x: jax.Array, y: jax.Array,
                          z: jax.Array) -> jax.Array:
-    """Trilinear interpolation of a centered complex cube at real-valued
+    """Trilinear interpolation of a centered cube at real-valued
     centered coordinates (any broadcastable shape)."""
     big = vol.shape[-1]
     c = big // 2
@@ -84,11 +95,16 @@ def _gather_trilinear_3d(vol: jax.Array, x: jax.Array, y: jax.Array,
     ix = fx.astype(jnp.int32) + c
     iy = fy.astype(jnp.int32) + c
     iz = fz.astype(jnp.int32) + c
+    use_flat = _flat_ok(vol)
+    flat = vol.reshape(-1) if use_flat else None
 
     def tap(dz, dy, dx, w):
         xi = jnp.clip(ix + dx, 0, big - 1)
         yi = jnp.clip(iy + dy, 0, big - 1)
         zi = jnp.clip(iz + dz, 0, big - 1)
+        if use_flat:
+            lin = (zi * big + yi) * big + xi
+            return jnp.take(flat, lin, axis=0) * w.astype(vol.dtype)
         return vol[zi, yi, xi] * w.astype(vol.dtype)
 
     out = tap(0, 0, 0, (1 - wz) * (1 - wy) * (1 - wx))
@@ -112,9 +128,14 @@ def _gather_bilinear_2d(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array
     ix = fx.astype(jnp.int32) + c
     iy = fy.astype(jnp.int32) + c
 
+    use_flat = _flat_ok(img)
+    flat = img.reshape(-1) if use_flat else None
+
     def tap(dy, dx, w):
         xi = jnp.clip(ix + dx, 0, big - 1)
         yi = jnp.clip(iy + dy, 0, big - 1)
+        if use_flat:
+            return jnp.take(flat, yi * big + xi, axis=0) * w.astype(img.dtype)
         return img[yi, xi] * w.astype(img.dtype)
 
     return (
@@ -144,11 +165,16 @@ def _gather_trilinear_3d_stack(vols: jax.Array, vol_idx: jax.Array,
     iy = fy.astype(jnp.int32) + c
     iz = fz.astype(jnp.int32) + c
     vi = vol_idx.reshape(vol_idx.shape + (1,) * (x.ndim - 1))
+    use_flat = _flat_ok(vols)
+    flat = vols.reshape(-1) if use_flat else None
 
     def tap(dz, dy, dx, w):
         xi = jnp.clip(ix + dx, 0, big - 1)
         yi = jnp.clip(iy + dy, 0, big - 1)
         zi = jnp.clip(iz + dz, 0, big - 1)
+        if use_flat:
+            lin = ((vi * big + zi) * big + yi) * big + xi
+            return jnp.take(flat, lin, axis=0) * w.astype(vols.dtype)
         return vols[vi, zi, yi, xi] * w.astype(vols.dtype)
 
     out = tap(0, 0, 0, (1 - wz) * (1 - wy) * (1 - wx))
@@ -172,10 +198,15 @@ def _gather_bilinear_2d_stack(imgs: jax.Array, img_idx: jax.Array,
     ix = fx.astype(jnp.int32) + c
     iy = fy.astype(jnp.int32) + c
     vi = img_idx.reshape(img_idx.shape + (1,) * (x.ndim - 1))
+    use_flat = _flat_ok(imgs)
+    flat = imgs.reshape(-1) if use_flat else None
 
     def tap(dy, dx, w):
         xi = jnp.clip(ix + dx, 0, big - 1)
         yi = jnp.clip(iy + dy, 0, big - 1)
+        if use_flat:
+            lin = (vi * big + yi) * big + xi
+            return jnp.take(flat, lin, axis=0) * w.astype(imgs.dtype)
         return imgs[vi, yi, xi] * w.astype(imgs.dtype)
 
     return (
@@ -186,21 +217,57 @@ def _gather_bilinear_2d_stack(imgs: jax.Array, img_idx: jax.Array,
     )
 
 
-def project_classed(proj_stack: jax.Array, cls: jax.Array, rot: jax.Array,
+def ri_split(proj_stack: jax.Array) -> jax.Array:
+    """(K, big, ...) complex spectra -> (K, 2, big, ...) float32.
+
+    TPU gather cost is proportional to gathered bytes (measured in
+    scripts/micro_gather.py), so the hot projector gathers run on a
+    real/imag-split float32 view prepared once per round."""
+    return jnp.stack(
+        [jnp.real(proj_stack), jnp.imag(proj_stack)], axis=1
+    ).astype(jnp.float32)
+
+
+def project_classed(proj_stack_ri: jax.Array, cls: jax.Array, rot: jax.Array,
                     rings, pf: int, mode_2d: bool) -> jax.Array:
     """Project per-image rotations from each image's own class spectrum.
 
-    proj_stack: (K, big, ...) padded corrected spectra; cls: (L,);
-    rot: (L, R, d, d); returns (L, R, p) complex slices.
+    proj_stack_ri: (K, 2, big, ...) ri-split spectra (see ri_split);
+    cls: (L,); rot: (L, R, d, d); returns (L, R, p) complex slices.
     """
     fx = (rings.i_col * pf).astype(jnp.float32)
     fy = (rings.i_row * pf).astype(jnp.float32)
     x = rot[..., 0, 0:1] * fx + rot[..., 0, 1:2] * fy
     y = rot[..., 1, 0:1] * fx + rot[..., 1, 1:2] * fy
+    k_cls = proj_stack_ri.shape[0]
     if mode_2d:
-        return _gather_bilinear_2d_stack(proj_stack, cls, x, y)
+        flat = proj_stack_ri.reshape((k_cls * 2,) + proj_stack_ri.shape[2:])
+        re = _gather_bilinear_2d_stack(flat, cls * 2, x, y)
+        im = _gather_bilinear_2d_stack(flat, cls * 2 + 1, x, y)
+        return jax.lax.complex(re, im)
     z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
-    return _gather_trilinear_3d_stack(proj_stack, cls, x, y, z)
+    flat = proj_stack_ri.reshape((k_cls * 2,) + proj_stack_ri.shape[2:])
+    re = _gather_trilinear_3d_stack(flat, cls * 2, x, y, z)
+    im = _gather_trilinear_3d_stack(flat, cls * 2 + 1, x, y, z)
+    return jax.lax.complex(re, im)
+
+
+def project_ri(proj_ri: jax.Array, rot: jax.Array, rings, pf: int,
+               mode_2d: bool) -> jax.Array:
+    """Slice extraction from ONE ri-split spectrum (2, big, ...): the
+    float-gather fast path for the scanned global search."""
+    fx = (rings.i_col * pf).astype(jnp.float32)
+    fy = (rings.i_row * pf).astype(jnp.float32)
+    x = rot[..., 0, 0:1] * fx + rot[..., 0, 1:2] * fy
+    y = rot[..., 1, 0:1] * fx + rot[..., 1, 1:2] * fy
+    if mode_2d:
+        re = _gather_bilinear_2d(proj_ri[0], x, y)
+        im = _gather_bilinear_2d(proj_ri[1], x, y)
+        return jax.lax.complex(re, im)
+    z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
+    re = _gather_trilinear_3d(proj_ri[0], x, y, z)
+    im = _gather_trilinear_3d(proj_ri[1], x, y, z)
+    return jax.lax.complex(re, im)
 
 
 def project_3d(proj: Projectee, rot: jax.Array, rings: PackedRings) -> jax.Array:

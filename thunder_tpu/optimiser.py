@@ -76,6 +76,7 @@ from thunder_tpu.ops.projector import (
     project_2d,
     project_3d,
     project_classed,
+    project_ri,
 )
 from thunder_tpu.physics.ctf import CtfParams, ctf_packed
 # (spectrum shell helpers are host-side only; device paths use ops.fourier iota grids)
@@ -109,12 +110,36 @@ def json_dumps_bytes(obj) -> bytes:
 # ======================================================================
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode_2d"))
-def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool):
-    """(K, size, ...) real-space refs -> (K, big, ...) padded corrected
-    spectra (Projector::setProjectee per class, Model::refreshProj)."""
+def _proj_crop_size(size: int, pf: int, r_u: int) -> int:
+    """Static crop size for the projectee spectrum: slice coordinates at
+    search radius r_u reach at most pf*r_u from the origin, so only the
+    central 2*(pf*r_u + 2) of the pf-padded cube is ever gathered.
+    Shrinking the gather source keeps its working set cache-resident
+    (the TPU gather's dominant cost; measured in scripts/micro_gather.py)
+    — the spectral analogue of the cropped reconstructor grid."""
+    return min(size * pf, 2 * (pf * r_u + 2))
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "crop"))
+def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
+                             crop: int = 0):
+    """(K, size, ...) real-space refs -> (K, 2, crop, ...) ri-split
+    padded corrected spectra (Projector::setProjectee per class,
+    Model::refreshProj).  Real/imag split: float gathers are faster
+    than complex gathers on TPU; ``crop`` (0 = full) keeps only the
+    centered region reachable at the current search radius."""
+    from thunder_tpu.ops.projector import ri_split
+
     prep = prepare_projectee_2d if mode_2d else prepare_projectee_3d
-    return jnp.stack([prep(refs[t], pf).ft for t in range(refs.shape[0])])
+    stack = jnp.stack([prep(refs[t], pf).ft for t in range(refs.shape[0])])
+    big = size * pf
+    if crop and crop < big:
+        c, cc = big // 2, crop // 2
+        nd = 2 if mode_2d else 3
+        sl = (slice(None),) + tuple(
+            slice(c - cc, c - cc + crop) for _ in range(nd))
+        stack = stack[sl]
+    return ri_split(stack)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d"))
@@ -147,17 +172,15 @@ def _global_search(proj_stack, rot_blocks, i_col, i_row, dat_w, sctf2,
     n_blocks, block = rot_blocks.shape[:2]
     n_img = dat_w.shape[0]
     n_trans = tra.shape[0]
-    project = project_2d if mode_2d else project_3d
     rings = _RingsView(i_col, i_row, size)
 
-    def scan_class_dense(carry, proj_ft):
+    def scan_class_dense(carry, proj_ri):
         baseline, w_c, w_t_all, w_r_all, i_class = carry
-        proj = Projectee(proj_ft, size, pf, size // 2 - 1)
 
         def scan_block(carry, inp):
             rot_blk, b_idx = inp
             baseline, w_c, w_r_all, w_t_all = carry
-            pri = project(proj, rot_blk, rings)
+            pri = project_ri(proj_ri, rot_blk, rings, pf, mode_2d)
             dvp = log_dvp_block(dat_w, sctf2, pri, tra, a_term)
             blk_max = jnp.max(dvp, axis=(1, 2))
             new_base = jnp.maximum(baseline, blk_max)
@@ -833,7 +856,8 @@ class Optimiser:
         tra = translate_phases(rings, trans)
 
         proj_stack = _prepare_projectee_stack(
-            s.refs, cfg.size, cfg.pf, cfg.mode_2d
+            s.refs, cfg.size, cfg.pf, cfg.mode_2d,
+            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
         )
 
         block = min(_ROT_BLOCK, n_rot)
@@ -868,7 +892,8 @@ class Optimiser:
         s = self.state[h]
         dat_w, sctf2, a_term = self._pack_inputs(h, rings)
         proj_stack = _prepare_projectee_stack(
-            s.refs, cfg.size, cfg.pf, cfg.mode_2d
+            s.refs, cfg.size, cfg.pf, cfg.mode_2d,
+            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
         )
 
         is_global = self.model.search_type == SEARCH_TYPE_GLOBAL
@@ -943,7 +968,8 @@ class Optimiser:
         ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
                          cfg.size, cfg.pixel_size)
         proj_stack = _prepare_projectee_stack(
-            s.refs, cfg.size, cfg.pf, cfg.mode_2d
+            s.refs, cfg.size, cfg.pf, cfg.mode_2d,
+            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
         )
         s.sigma = _sigma_step(
             dat, ctf, rings.mask, rings.i_col, rings.i_row, rings.i_sig,
@@ -1028,7 +1054,8 @@ class Optimiser:
             ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
                              cfg.size, cfg.pixel_size)
             proj_stack = _prepare_projectee_stack(
-                s.refs, cfg.size, cfg.pf, cfg.mode_2d
+                s.refs, cfg.size, cfg.pf, cfg.mode_2d,
+                _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
             )
             if cfg.mode_2d:
                 rot = rotate2d_from_unit(s.par.top_r[..., :2])
@@ -1091,7 +1118,8 @@ class Optimiser:
         ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
                          cfg.size, cfg.pixel_size)
         proj_stack = _prepare_projectee_stack(
-            s.refs, cfg.size, cfg.pf, cfg.mode_2d
+            s.refs, cfg.size, cfg.pf, cfg.mode_2d,
+            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
         )
         if cfg.mode_2d:
             rot = rotate2d_from_unit(s.par.top_r[..., :2])

@@ -112,7 +112,11 @@ def sharded_em_step(key, ft_imgs, ctf, sig_rcp, refs, par: pt.ParticleState,
     project = project_2d if mode_2d else project_3d
 
     def per_hemi(key, ft, ctf_h, s_h, refs_h, par_h, cls_h):
-        proj_stack = jnp.stack([prep(refs_h[t], pf).ft for t in range(k_cls)])
+        from thunder_tpu.ops.projector import ri_split
+
+        proj_stack = ri_split(
+            jnp.stack([prep(refs_h[t], pf).ft for t in range(k_cls)])
+        )
 
         # particle-filter phase
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
