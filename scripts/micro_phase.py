@@ -52,8 +52,9 @@ def main():
 
     @jax.jit
     def make_inputs(ks):
-        proj_stack = (jax.random.normal(ks[0], (1, big, big, big))
-                      + 1j * jax.random.normal(ks[1], (1, big, big, big))
+        crop = 2 * (pf * r + 2)  # what _proj_crop_size gives the phase loop
+        proj_stack = (jax.random.normal(ks[0], (1, crop, crop, crop))
+                      + 1j * jax.random.normal(ks[1], (1, crop, crop, crop))
                       ).astype(jnp.complex64)
         rot = rotate3d(random_quat(ks[2], (L, R)))
         dat_w = (jax.random.normal(ks[3], (L, P))

@@ -143,3 +143,21 @@ def test_vms_small_kappa_uniform():
     v = sample_vms(jax.random.PRNGKey(12), mu, jnp.asarray(0.999), 4000)
     _, k = infer_vms(v)
     assert float(k) > 0.8  # nearly uniform
+
+
+def test_dominant_eigvec_matches_eigh():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from thunder_tpu.geometry.directional import _dominant_eigvec_4, _inv4_spd
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        m = rng.normal(size=(4, 4))
+        a = m @ m.T + 0.1 * np.eye(4)
+        v = np.asarray(_dominant_eigvec_4(jnp.asarray(a, jnp.float32)))
+        w, vecs = np.linalg.eigh(a)
+        ref = vecs[:, -1]
+        assert abs(abs(v @ ref) - 1.0) < 1e-3
+        inv = np.asarray(_inv4_spd(jnp.asarray(a, jnp.float32)))
+        assert np.allclose(inv @ a, np.eye(4), atol=1e-3)

@@ -32,6 +32,45 @@ def sample_acg(key: jax.Array, k1, k2, k3, n: int) -> jax.Array:
     return quat_normalize(v)
 
 
+def _inv4_spd(a: jax.Array) -> jax.Array:
+    """Closed-form inverse of a symmetric positive-definite 4x4 (batched)
+    via 2x2 block Schur complement.  XLA lowers jnp.linalg.inv of tiny
+    batched matrices to a slow LU path on TPU; this stays elementwise."""
+
+    def inv2(m):
+        det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+        row0 = jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1)
+        row1 = jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
+
+    p = a[..., :2, :2]
+    qb = a[..., :2, 2:]
+    s = a[..., 2:, 2:]
+    p_inv = inv2(p)
+    pq = p_inv @ qb                      # P^{-1} Q
+    schur = s - jnp.swapaxes(qb, -1, -2) @ pq
+    s_inv = inv2(schur)
+    tl = p_inv + pq @ s_inv @ jnp.swapaxes(pq, -1, -2)
+    tr = -pq @ s_inv
+    bl = jnp.swapaxes(tr, -1, -2)
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([bl, s_inv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _dominant_eigvec_4(a: jax.Array, n_iter: int = 32) -> jax.Array:
+    """Dominant eigenvector of a symmetric PSD 4x4 (batched) by power
+    iteration (replaces jnp.linalg.eigh, which lowers to a slow
+    tiny-matrix path on TPU).  When the spectrum is near-degenerate any
+    top-subspace vector serves equally as the ACG cloud mean."""
+    v = a[..., 0, :] + 0.05 * jnp.sum(a, axis=-2) + 1e-6
+    for _ in range(n_iter):
+        v = jnp.einsum("...ij,...j->...i", a, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
 def infer_acg_matrix(q: jax.Array) -> jax.Array:
     """ML estimate of the 4x4 ACG scatter matrix from quaternions (n, 4).
 
@@ -44,7 +83,7 @@ def infer_acg_matrix(q: jax.Array) -> jax.Array:
     eye = jnp.eye(4, dtype=q.dtype)
 
     def step(a):
-        u = jnp.einsum("...ni,...ij,...nj->...n", q, jnp.linalg.inv(a), q)
+        u = jnp.einsum("...ni,...ij,...nj->...n", q, _inv4_spd(a), q)
         u = jnp.maximum(u, 1e-12)
         b = 4.0 * jnp.einsum("...ni,...nj,...n->...ij", q, q, 1.0 / u)
         nf = jnp.sum(1.0 / u, axis=-1)
@@ -76,9 +115,7 @@ def infer_acg_k123(q: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 def infer_acg_mean(q: jax.Array) -> jax.Array:
     """Dominant eigenvector of the ACG matrix (DirectionalStat.cpp:224-249)."""
     a = infer_acg_matrix(q)
-    _, vecs = jnp.linalg.eigh(a)  # ascending eigenvalues
-    mean = vecs[..., :, -1]
-    return quat_normalize(mean)
+    return quat_normalize(_dominant_eigvec_4(a))
 
 
 def vms_kappa(k: jax.Array) -> jax.Array:
