@@ -217,15 +217,80 @@ def _gather_bilinear_2d_stack(imgs: jax.Array, img_idx: jax.Array,
     )
 
 
-def ri_split(proj_stack: jax.Array) -> jax.Array:
-    """(K, big, ...) complex spectra -> (K, 2, big, ...) float32.
+def ri_split(proj_stack: jax.Array, pack_bf16: bool = True) -> jax.Array:
+    """(K, big, ...) complex spectra -> gather-friendly storage.
 
     TPU gather cost is proportional to gathered bytes (measured in
-    scripts/micro_gather.py), so the hot projector gathers run on a
-    real/imag-split float32 view prepared once per round."""
-    return jnp.stack(
-        [jnp.real(proj_stack), jnp.imag(proj_stack)], axis=1
-    ).astype(jnp.float32)
+    scripts/micro_gather.py), so the hot projector gathers avoid the
+    complex dtype.  pack_bf16=True (default): each (re, im) pair is
+    stored as two bfloat16 halves of ONE uint32 word, shape (K, big,
+    ...) — 8 taps x 4 bytes, ~1.9x faster than split float32 and
+    comparable precision to the reference's CUDA texture path (whose
+    hardware trilinear uses 8-bit fractional weights,
+    gpu/src/Kernel.cu texture fetches).  pack_bf16=False: float32
+    split, shape (K, 2, big, ...), for full-precision projection.
+    project_classed / project_ri dispatch on the dtype."""
+    re = jnp.real(proj_stack)
+    im = jnp.imag(proj_stack)
+    if not pack_bf16:
+        return jnp.stack([re, im], axis=1).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        re.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        im.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return lo | (hi << 16)
+
+
+def _unpack_ri(word: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """uint32 word -> (re, im) float32 (inverse of ri_split packing)."""
+    re = jax.lax.bitcast_convert_type(
+        (word & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    im = jax.lax.bitcast_convert_type(
+        (word >> 16).astype(jnp.uint16), jnp.bfloat16)
+    return re.astype(jnp.float32), im.astype(jnp.float32)
+
+
+def _gather_packed_trilinear(flat: jax.Array, vi, ix, iy, iz, wx, wy, wz,
+                             big: int) -> jax.Array:
+    """8-tap trilinear gather of packed uint32 ri-words from a flattened
+    stack; vi is a broadcastable volume offset (already * big^3) or 0."""
+    outr = 0.0
+    outi = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = ((wz if dz else 1 - wz) * (wy if dy else 1 - wy)
+                     * (wx if dx else 1 - wx))
+                xi = jnp.clip(ix + dx, 0, big - 1)
+                yi = jnp.clip(iy + dy, 0, big - 1)
+                zi = jnp.clip(iz + dz, 0, big - 1)
+                lin = vi + (zi * big + yi) * big + xi
+                re, im = _unpack_ri(jnp.take(flat, lin, axis=0))
+                outr += re * w
+                outi += im * w
+    return jax.lax.complex(outr, outi)
+
+
+def _gather_packed_bilinear(flat: jax.Array, vi, ix, iy, wx, wy,
+                            big: int) -> jax.Array:
+    outr = 0.0
+    outi = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            w = (wy if dy else 1 - wy) * (wx if dx else 1 - wx)
+            xi = jnp.clip(ix + dx, 0, big - 1)
+            yi = jnp.clip(iy + dy, 0, big - 1)
+            re, im = _unpack_ri(jnp.take(flat, vi + yi * big + xi, axis=0))
+            outr += re * w
+            outi += im * w
+    return jax.lax.complex(outr, outi)
+
+
+def _corners(x, y, big):
+    fx, fy = jnp.floor(x), jnp.floor(y)
+    c = big // 2
+    return (fx.astype(jnp.int32) + c, fy.astype(jnp.int32) + c,
+            (x - fx).astype(jnp.float32), (y - fy).astype(jnp.float32))
 
 
 def project_classed(proj_stack_ri: jax.Array, cls: jax.Array, rot: jax.Array,
@@ -240,6 +305,18 @@ def project_classed(proj_stack_ri: jax.Array, cls: jax.Array, rot: jax.Array,
     x = rot[..., 0, 0:1] * fx + rot[..., 0, 1:2] * fy
     y = rot[..., 1, 0:1] * fx + rot[..., 1, 1:2] * fy
     k_cls = proj_stack_ri.shape[0]
+    packed = proj_stack_ri.dtype == jnp.uint32
+    if packed:
+        big = proj_stack_ri.shape[-1]
+        nd = proj_stack_ri.ndim - 1
+        flat = proj_stack_ri.reshape(-1)
+        vi = (cls * big**nd).reshape(cls.shape + (1,) * (x.ndim - 1))
+        ix, iy, wx, wy = _corners(x, y, big)
+        if mode_2d:
+            return _gather_packed_bilinear(flat, vi, ix, iy, wx, wy, big)
+        z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
+        iz, _, wz, _ = _corners(z, z, big)
+        return _gather_packed_trilinear(flat, vi, ix, iy, iz, wx, wy, wz, big)
     if mode_2d:
         flat = proj_stack_ri.reshape((k_cls * 2,) + proj_stack_ri.shape[2:])
         re = _gather_bilinear_2d_stack(flat, cls * 2, x, y)
@@ -260,6 +337,15 @@ def project_ri(proj_ri: jax.Array, rot: jax.Array, rings, pf: int,
     fy = (rings.i_row * pf).astype(jnp.float32)
     x = rot[..., 0, 0:1] * fx + rot[..., 0, 1:2] * fy
     y = rot[..., 1, 0:1] * fx + rot[..., 1, 1:2] * fy
+    if proj_ri.dtype == jnp.uint32:
+        big = proj_ri.shape[-1]
+        flat = proj_ri.reshape(-1)
+        ix, iy, wx, wy = _corners(x, y, big)
+        if mode_2d:
+            return _gather_packed_bilinear(flat, 0, ix, iy, wx, wy, big)
+        z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
+        iz, _, wz, _ = _corners(z, z, big)
+        return _gather_packed_trilinear(flat, 0, ix, iy, iz, wx, wy, wz, big)
     if mode_2d:
         re = _gather_bilinear_2d(proj_ri[0], x, y)
         im = _gather_bilinear_2d(proj_ri[1], x, y)

@@ -139,7 +139,11 @@ def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
         sl = (slice(None),) + tuple(
             slice(c - cc, c - cc + crop) for _ in range(nd))
         stack = stack[sl]
-    return ri_split(stack)
+    # bf16-packed storage needs int32-addressable flat indices
+    n_elem = 1
+    for d in stack.shape:
+        n_elem *= d
+    return ri_split(stack, pack_bf16=n_elem < 2**31)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d"))
