@@ -42,10 +42,10 @@ def test_checkpoint_roundtrip(tmp_path):
     rec_restored = opt2.run_round(1)
 
     np.testing.assert_allclose(
-        np.asarray(opt.state[0].refs), np.asarray(opt2.state[0].refs),
+        np.asarray(opt.state.refs), np.asarray(opt2.state.refs),
         atol=1e-5,
     )
     np.testing.assert_array_equal(
-        np.asarray(opt.state[0].cls), np.asarray(opt2.state[0].cls)
+        np.asarray(opt.state.cls), np.asarray(opt2.state.cls)
     )
     assert rec_orig["res_shell"] == rec_restored["res_shell"]

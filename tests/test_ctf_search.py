@@ -40,20 +40,19 @@ def test_ctf_search_recovers_defocus_factor():
     opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64), init_refs=phantom)
 
     # inject true poses and jump straight to the CTF stage
-    for h in (0, 1):
-        idx = opt.data[h].index
-        L = len(idx)
-        tq = jnp.asarray(true_q[idx], jnp.float32)
-        tt = jnp.asarray(true_t[idx], jnp.float32)
-        par = opt.state[h].par
-        opt.state[h].par = par._replace(
-            r=jnp.broadcast_to(tq[:, None, :], (L, par.n_r, 4)),
-            t=jnp.broadcast_to(tt[:, None, :], (L, par.n_t, 2)),
-            top_r=tq, top_t=tt,
-            k1=jnp.full((L,), 0.001), k2=jnp.full((L,), 0.001),
-            k3=jnp.full((L,), 0.001),
-            s0=jnp.full((L,), 0.05), s1=jnp.full((L,), 0.05),
-        )
+    L = opt.n_img
+    par = opt.state.par
+    n_r, n_t = par.r.shape[2], par.t.shape[2]
+    tq = jnp.asarray(true_q[opt.index], jnp.float32)     # (2, L, 4)
+    tt = jnp.asarray(true_t[opt.index], jnp.float32)     # (2, L, 2)
+    opt.state.par = par._replace(
+        r=jnp.broadcast_to(tq[:, :, None, :], (2, L, n_r, 4)),
+        t=jnp.broadcast_to(tt[:, :, None, :], (2, L, n_t, 2)),
+        top_r=tq, top_t=tt,
+        k1=jnp.full((2, L), 0.001), k2=jnp.full((2, L), 0.001),
+        k3=jnp.full((2, L), 0.001),
+        s0=jnp.full((2, L), 0.05), s1=jnp.full((2, L), 0.05),
+    )
     opt.model.search_type = SEARCH_TYPE_CTF
     opt.model.r = size // 2 - 2
 
@@ -63,12 +62,9 @@ def test_ctf_search_recovers_defocus_factor():
 
     rings = opt._rings()
     for _ in range(8):      # several CTF-search rounds
-        for h in (0, 1):
-            opt.local_phases(h, rings)
+        opt.local_phases(rings)
 
-    top_d = np.concatenate(
-        [np.asarray(opt.state[h].par.top_d) for h in (0, 1)]
-    )
+    top_d = np.asarray(opt.state.par.top_d)[opt.valid]
     med = float(np.median(top_d))
     assert abs(med - true_factor) < 0.04, f"median defocus factor {med}"
     # and clearly distinguishes from the unscaled hypothesis

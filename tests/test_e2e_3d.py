@@ -87,9 +87,10 @@ def test_3d_refinement_improves_reference():
     best_median = 0.0
     for i in range(8):
         opt.run_round(i)
+        top_r = np.asarray(opt.state.par.top_r)        # (2, L, 4)
         dots = np.concatenate([
-            np.abs(np.sum(np.asarray(opt.state[h].par.top_r)
-                          * true_q[opt.data[h].index], axis=1))
+            np.abs(np.sum(top_r[h][opt.valid[h]]
+                          * true_q[opt.index[h][opt.valid[h]]], axis=1))
             for h in (0, 1)
         ])
         best_median = max(best_median, float(np.median(dots)))

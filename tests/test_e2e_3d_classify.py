@@ -59,7 +59,7 @@ def test_3d_classification_separates_species():
         mode="3D", k=2, size=size, pixel_size=1.0, mask_radius=10.0,
         trans_s=1.0, init_res=3.0, global_search_res=2.4, sym="C1",
         m_s=1024, m_l_r=16, m_l_t=9, m_reco=12,
-        ignore_res=size * 1.0, trans_search_factor=0.25, seed=3,
+        ignore_res=size * 1.0, trans_search_factor=0.25, seed=0,
         ref_auto_recentre=False,  # test phantoms are deliberately off-center
     )
     ctf = ctf_params(

@@ -64,7 +64,7 @@ def save_round_artifacts(opt, thu, out_dir: str, i_round: int):
                             out_dir,
                             f"Reference_{t:03d}_{tag}_Round_{i_round:03d}.mrc",
                         ),
-                        np.asarray(opt.state[h].refs[t]), cfg.pixel_size,
+                        np.asarray(opt.state.refs[h, t]), cfg.pixel_size,
                     )
 
 
@@ -72,6 +72,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="thunder")
     p.add_argument("config", help="JSON config (reference-compatible)")
     p.add_argument("--max-rounds", type=int, default=None)
+    p.add_argument("--no-mesh", action="store_true",
+                   help="force single-device execution even when several "
+                        "devices are visible")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address (host:port)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     a = p.parse_args(argv)
 
     logging.basicConfig(
@@ -119,8 +126,18 @@ def main(argv=None):
     if cfg.init_model:
         init_refs, _ = read_mrc(cfg.init_model)
 
+    # SPMD mesh over all visible devices (appsrc/thunder.cpp:401-409's
+    # MPI topology becomes one jax mesh; multi-host via jax.distributed)
+    from thunder_tpu.parallel.distributed import default_mesh, init_multihost
+
+    init_multihost(a.coordinator, a.num_processes, a.process_id)
+    mesh = None
+    if not a.no_mesh and len(jax.devices()) > 1:
+        mesh = default_mesh()
+        log.info("device mesh: %s", dict(mesh.shape))
+
     opt = Optimiser(cfg, images, ctf, thu.group_id - 1, init_refs=init_refs,
-                    resume_thu=thu if not cfg.g_search else None)
+                    resume_thu=thu if not cfg.g_search else None, mesh=mesh)
 
     from thunder_tpu.utils.logging import RoundMetrics, check_memory
 
@@ -156,7 +173,7 @@ def main(argv=None):
             for h, tag in ((0, "A"), (1, "B")):
                 write_mrc(
                     os.path.join(out_dir, f"Reference_{t:03d}_{tag}_Final.mrc"),
-                    np.asarray(opt.state[h].refs[t]), cfg.pixel_size,
+                    np.asarray(opt.state.refs[h, t]), cfg.pixel_size,
                 )
 
     if cfg.subtract and not cfg.mode_2d:

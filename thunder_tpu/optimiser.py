@@ -78,7 +78,7 @@ from thunder_tpu.ops.projector import (
     project_classed,
     project_ri,
 )
-from thunder_tpu.physics.ctf import CtfParams, ctf_packed
+from thunder_tpu.physics.ctf import CtfParams, ctf_packed, ctf_packed_scaled
 # (spectrum shell helpers are host-side only; device paths use ops.fourier iota grids)
 from thunder_tpu.pipeline.preprocess import (
     init_sigma,
@@ -381,18 +381,15 @@ def _phase_step(key, par, cls, proj_stack, i_col, i_row, dat_w, sctf2,
                        sctf2, a_term, size, pf, mode, pf_small, trans_s)
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
-                                   "trans_s", "min_phase", "max_phase"))
-def _phase_loop(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
-                dat_w, sctf2, a_term, size: int, pf: int, mode: int,
-                pf_small: float, trans_s: float, min_phase: int,
-                max_phase: int):
-    """The whole adaptive phase loop as ONE device program: a bounded
-    while_loop with the variance-stall stopping rule
+def _adaptive_phase_loop(key, par: pt.ParticleState, body_fn,
+                         min_phase: int, max_phase: int):
+    """Bounded while_loop with the variance-stall stopping rule
     (Optimiser.cpp:1510-1614; PARTICLE_FILTER_DECREASE_FACTOR 0.95,
-    N_PHASE_WITH_NO_VARI_DECREASE 1).  Removes the per-phase
-    host-device sync of the naive driver loop — the dominant cost on a
-    remote-dispatch TPU."""
+    N_PHASE_WITH_NO_VARI_DECREASE 1), shared by the plain and the
+    CTF-search phase loops.  ``body_fn(key, par) -> (par, (k1, s0, s1))``.
+    Running the whole adaptive loop as ONE device program removes the
+    per-phase host-device sync of a naive driver loop — the dominant
+    cost on a remote-dispatch TPU."""
     f = PARTICLE_FILTER_DECREASE_FACTOR
     big = jnp.asarray(jnp.finfo(jnp.float32).max)
 
@@ -407,9 +404,7 @@ def _phase_loop(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     def body(state):
         key, par, phase, n_no_dec, prev = state
         key, sub = jax.random.split(key)
-        par, vari = _phase_body(sub, par, cls, proj_stack, i_col, i_row,
-                                dat_w, sctf2, a_term, size, pf, mode,
-                                pf_small, trans_s)
+        par, vari = body_fn(sub, par)
         k1, s0, s1 = vari
         pk1, ps0, ps1 = prev
         decreased = jnp.logical_or(
@@ -430,6 +425,22 @@ def _phase_loop(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     return par, phase
 
 
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
+                                   "trans_s", "min_phase", "max_phase"))
+def _phase_loop(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
+                dat_w, sctf2, a_term, size: int, pf: int, mode: int,
+                pf_small: float, trans_s: float, min_phase: int,
+                max_phase: int):
+    """The whole adaptive phase loop as ONE device program
+    (Optimiser.cpp:1183-1614)."""
+    def body_fn(sub, par):
+        return _phase_body(sub, par, cls, proj_stack, i_col, i_row,
+                           dat_w, sctf2, a_term, size, pf, mode,
+                           pf_small, trans_s)
+
+    return _adaptive_phase_loop(key, par, body_fn, min_phase, max_phase)
+
+
 def translate_phases_view(i_col, i_row, size, trans):
     phase = (2 * jnp.pi / size) * (
         i_col.astype(jnp.float32) * trans[..., 0:1]
@@ -438,9 +449,7 @@ def translate_phases_view(i_col, i_row, size, trans):
     return jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
-                                   "trans_s", "pixel_size"))
-def _phase_step_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
+def _phase_body_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
                     dat_s, s_pack, a_term, ctf_base, size: int, pf: int,
                     mode: int, pf_small: float, trans_s: float,
                     pixel_size: float):
@@ -486,6 +495,24 @@ def _phase_step_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     par = pt.cal_vari_d(par)
     vari = (jnp.mean(par.k1), jnp.mean(par.s0), jnp.mean(par.s1))
     return par, vari
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
+                                   "trans_s", "pixel_size", "min_phase",
+                                   "max_phase"))
+def _phase_loop_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col,
+                    i_row, dat_s, s_pack, a_term, ctf_base, size: int,
+                    pf: int, mode: int, pf_small: float, trans_s: float,
+                    pixel_size: float, min_phase: int, max_phase: int):
+    """The CTF-search phase loop as ONE device program, same stall rule
+    as the plain loop (the reference's CTF rounds share the phase-loop
+    skeleton, Optimiser.cpp:1183-1614 with the :1252-1271 branch)."""
+    def body_fn(sub, par):
+        return _phase_body_ctf(sub, par, cls, proj_stack, i_col, i_row,
+                               dat_s, s_pack, a_term, ctf_base, size, pf,
+                               mode, pf_small, trans_s, pixel_size)
+
+    return _adaptive_phase_loop(key, par, body_fn, min_phase, max_phase)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r", "n_group"))
@@ -642,24 +669,267 @@ def _reconstruct_all(f_all, t_all, fsc_all, grid_size: int, pf: int,
 
 
 # ======================================================================
+# hemisphere-stacked SPMD stages
+# ======================================================================
+# Every hot stage runs ONCE per round over BOTH hemispheres: inputs
+# carry a leading hemi axis of size 2 and these wrappers vmap the
+# per-hemisphere stage bodies above.  On a ("hemi", "data") mesh the
+# stacked arrays are sharded P("hemi", "data", ...), so each jitted
+# program IS the reference's process topology (src/Parallel.cpp:17-67):
+# one mesh half computes hemisphere A, the other B, psum over "data"
+# replaces MPI_Allreduce_Large + the GPU path's NCCL tier
+# (Reconstructor.cpp:2350-2484, gpu/src/cuthunder.cu:297-345), and the
+# cross-hemisphere FSC (_compare_refs) is the only point where the two
+# halves meet (Model.cpp:307-851).  On a single device the size-2 batch
+# simply fuses both hemispheres into one dispatch.
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "crop"))
+def _prepare_projectee_stack_h(refs, size: int, pf: int, mode_2d: bool,
+                               crop: int = 0):
+    return jax.vmap(
+        lambda r: _prepare_projectee_stack(r, size, pf, mode_2d, crop)
+    )(refs)
+
+
+@partial(jax.jit, static_argnames=("size", "pixel_size"))
+def _pack_inputs_h(ft_masked, ctf_params, sigma, group_id, i_col, i_row,
+                   i_sig, mask, size: int, pixel_size: float):
+    return jax.vmap(
+        lambda ft, cp, sg, gi: _pack_inputs_jit(
+            ft, cp, sg, gi, i_col, i_row, i_sig, mask, size, pixel_size)
+    )(ft_masked, ctf_params, sigma, group_id)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d"))
+def _global_search_h(proj_stack, rot_blocks, i_col, i_row, dat_w, sctf2,
+                     a_term, tra, size: int, pf: int, mode_2d: bool):
+    return jax.vmap(
+        lambda ps, rb, dw, s2, at, tr: _global_search(
+            ps, rb, i_col, i_row, dw, s2, at, tr, size, pf, mode_2d)
+    )(proj_stack, rot_blocks, dat_w, sctf2, a_term, tra)
+
+
+@partial(jax.jit, static_argnames=("n_rot_out", "n_trans_out", "mode"))
+def _adopt_global_h(keys, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d,
+                    n_rot_out: int, n_trans_out: int, mode: int):
+    return jax.vmap(
+        lambda k, wc, wr, wt, q, tr, pd, wd, ud: _adopt_global_jit(
+            k, wc, wr, wt, q, tr, pd, wd, ud, n_rot_out, n_trans_out, mode)
+    )(keys, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
+                                   "trans_s", "min_phase", "max_phase"))
+def _phase_loop_h(keys, par, cls, proj_stack, i_col, i_row, dat_w, sctf2,
+                  a_term, size: int, pf: int, mode: int, pf_small: float,
+                  trans_s: float, min_phase: int, max_phase: int):
+    return jax.vmap(
+        lambda k, p, c, ps, dw, s2, at: _phase_loop(
+            k, p, c, ps, i_col, i_row, dw, s2, at, size, pf, mode,
+            pf_small, trans_s, min_phase, max_phase)
+    )(keys, par, cls, proj_stack, dat_w, sctf2, a_term)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
+                                   "trans_s", "pixel_size", "min_phase",
+                                   "max_phase"))
+def _phase_loop_ctf_h(keys, par, cls, proj_stack, i_col, i_row, i_sig,
+                      mask, ft_masked, sigma, group_id, ctf_base,
+                      size: int, pf: int, mode: int, pf_small: float,
+                      trans_s: float, pixel_size: float, min_phase: int,
+                      max_phase: int):
+    """CTF loop wrapper; builds dat_s / sigRcp per hemisphere inside the
+    program (the packing is re-derived from the raw spectra so the whole
+    CTF round stays one dispatch)."""
+    c = size // 2
+
+    def one(k, p, cl, ps, ft, sg, gi, cb):
+        dat = ft[..., c + i_row, c + i_col]
+        sig = sg[gi[:, None], i_sig[None, :]]
+        s_rcp = sigma_to_sig_rcp(sig) * mask
+        dat_s = s_rcp.astype(jnp.complex64) * dat
+        a_term = jnp.sum(s_rcp * jnp.abs(dat) ** 2, axis=-1)
+        return _phase_loop_ctf(k, p, cl, ps, i_col, i_row, dat_s, s_rcp,
+                               a_term, cb, size, pf, mode, pf_small,
+                               trans_s, pixel_size, min_phase, max_phase)
+
+    return jax.vmap(one)(keys, par, cls, proj_stack, ft_masked, sigma,
+                         group_id, ctf_base)
+
+
+@partial(jax.jit, static_argnames=("mode", "fold_sym"))
+def _finish_phases_h(par, sym_quats, mode: int, fold_sym: bool):
+    return jax.vmap(lambda p: _finish_phases(p, sym_quats, mode, fold_sym))(par)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r",
+                                   "n_group", "pixel_size"))
+def _sigma_step_h(ft_ori, ctf_params, mask, i_col, i_row, i_sig,
+                  proj_stack, cls, top_r, top_t, group_id, sigma_prev, r_u,
+                  size: int, pf: int, mode_2d: bool, max_r: int,
+                  n_group: int, pixel_size: float):
+    c = size // 2
+
+    def one(ft, cp, ps, cl, tr, tt, gi, sp):
+        dat = ft[..., c + i_row, c + i_col]
+        ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
+        return _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, ps, cl,
+                           tr, tt, gi, sp, r_u, size, pf, mode_2d,
+                           max_r, n_group)
+
+    return jax.vmap(one)(ft_ori, ctf_params, proj_stack, cls, top_r,
+                         top_t, group_id, sigma_prev)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "pixel_size"))
+def _resid_stats_h(ft_ori, ctf_params, proj_stack, cls, top_r, eff_t,
+                   i_col, i_row, mask, size: int, pf: int, mode_2d: bool,
+                   pixel_size: float):
+    """Rank-1 residual norms + scale cross/auto spectra sums, fused:
+    normCorrection (Optimiser.cpp:6201-6394) and refreshScale /
+    scaleDataVSPrior (:5749-6063, :10286) share the same rank-1
+    projection, so both statistics come out of one program.
+
+    Returns (norm (2, L), xa (2, L), aa (2, L))."""
+    c = size // 2
+    rings = _RingsView(i_col, i_row, size)
+
+    def one(ft, cp, ps, cl, q, tt):
+        dat = ft[..., c + i_row, c + i_col]
+        ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
+        rot = rotate2d_from_unit(q[..., :2]) if mode_2d else rotate3d(q)
+        pri = project_classed(ps, cl, rot[:, None], rings, pf, mode_2d)[:, 0]
+        tra = translate_phases_view(i_col, i_row, size, tt[:, None])[:, 0]
+        prit = pri * tra
+        resid = dat - ctf * prit
+        norm = jnp.sum(jnp.abs(resid) ** 2 * mask, axis=-1)
+        xa = jnp.sum(jnp.real(dat * jnp.conj(prit)) * ctf * mask, axis=-1)
+        aa = jnp.sum(jnp.abs(prit) ** 2 * ctf * ctf * mask, axis=-1)
+        return norm, xa, aa
+
+    return jax.vmap(one)(ft_ori, ctf_params, proj_stack, cls, top_r, eff_t)
+
+
+@partial(jax.jit, static_argnames=("n_draw",))
+def _draw_poses_h(keys, par, n_draw: int):
+    return jax.vmap(lambda k, p: pt.draw_poses(k, p, n_draw))(keys, par)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
+                                   "grid_size", "pixel_size", "use_d"))
+def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
+                  d_draw, w_l_all, sym_mats, max_radius_pad, size: int,
+                  pf: int, mode_2d: bool, n_sym: int, grid_size: int,
+                  pixel_size: float, use_d: bool):
+    """Both hemispheres' per-class insertions in one program; the CTF is
+    evaluated inside (per-draw defocus-scaled when use_d)."""
+    c = size // 2
+
+    def one(ft, cp, q, tr, dd, wl):
+        dat = ft[..., c + i_row, c + i_col] * mask
+        if use_d:
+            ctf = ctf_packed_scaled(cp, i_col, i_row, size, pixel_size, dd)
+        else:
+            ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
+        return _insert_all_classes(dat, ctf, mask, i_col, i_row, q, tr, wl,
+                                   sym_mats, max_radius_pad, size, pf,
+                                   mode_2d, n_sym, grid_size)
+
+    return jax.vmap(one)(ft_ori, ctf_params, quats, trans, d_draw, w_l_all)
+
+
+@partial(jax.jit, static_argnames=("grid_size", "pf", "max_radius",
+                                   "map_wiener", "join_half", "grid_corr",
+                                   "out_size"))
+def _reconstruct_all_h(f2, t2, fsc_all, grid_size: int, pf: int,
+                       max_radius: int, map_wiener: bool, join_half: bool,
+                       grid_corr: bool, out_size: int):
+    """Per-hemisphere, per-class gridding reconstructions; the FSC curve
+    (previous round's, shared by both halves as in Model::_FSC) rides
+    along unbatched."""
+    return jax.vmap(
+        lambda f, t: _reconstruct_all(f, t, fsc_all, grid_size, pf,
+                                      max_radius, map_wiener, join_half,
+                                      grid_corr, out_size)
+    )(f2, t2)
+
+
+@partial(jax.jit, static_argnames=("mode_2d",))
+def _recentre_refs_h(refs, o_class, mode_2d: bool):
+    return jax.vmap(lambda r, o: _recentre_refs(r, o, mode_2d))(refs, o_class)
+
+
+@partial(jax.jit, static_argnames=("size", "mask_radius_px",))
+def _remask_h(ft_ori, offset, size: int, mask_radius_px: float):
+    """Rebuild soft-masked spectra from offset-translated originals
+    (reMaskImg, Optimiser.cpp:6093-6149), both hemispheres at once."""
+    from thunder_tpu.constants import EDGE_WIDTH_RL
+    from thunder_tpu.ops.fourier import fft2_centered, ifft2_centered
+    from thunder_tpu.physics.mask import soft_mask_weight
+
+    c = size // 2
+    k = jnp.arange(size, dtype=jnp.float32) - c
+    phase = (2 * jnp.pi / size) * (
+        k[None, None, None, :] * offset[..., 0, None, None]
+        + k[None, None, :, None] * offset[..., 1, None, None]
+    )
+    shifted = ft_ori * jnp.exp(-1j * phase).astype(jnp.complex64)
+    rl = ifft2_centered(shifted)
+    w = jnp.asarray(soft_mask_weight(size, 2, mask_radius_px, EDGE_WIDTH_RL))
+    return fft2_centered(rl * w[None, None]).astype(jnp.complex64)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "pixel_size"))
+def _subtract_batch(ft_ori, ctf_params, proj_stack, cls, top_r, eff_t,
+                    size: int, pf: int, mode_2d: bool, pixel_size: float):
+    """Batched signal subtraction (saveSubtract, Optimiser.cpp:8418):
+    dat - ctf * translate(proj(masked ref at rank-1 pose)) for a chunk
+    of images, as one program (replacing the O(N)-dispatch host loop)."""
+    from thunder_tpu.ops.fourier import ifft2_centered
+    from thunder_tpu.physics.ctf import ctf_image
+
+    c = size // 2
+    k = jnp.arange(size, dtype=jnp.int32) - c
+    ky, kx = jnp.meshgrid(k, k, indexing="ij")
+    view = _RingsView(kx.reshape(-1), ky.reshape(-1), size)
+    rot = (rotate2d_from_unit(top_r[..., :2]) if mode_2d
+           else rotate3d(top_r))
+    pri = project_classed(proj_stack, cls, rot[:, None], view, pf,
+                          mode_2d)[:, 0]
+    inside = ((kx * kx + ky * ky) < (size // 2 - 1) ** 2).reshape(-1)
+    pri = jnp.where(inside[None, :], pri, 0.0)
+    tra = translate_phases_view(view.i_col, view.i_row, size,
+                                eff_t[:, None])[:, 0]
+    pri = (pri * tra).reshape(-1, size, size)
+    ctf_full = ctf_image(ctf_params, size, pixel_size)
+    return ifft2_centered(ft_ori - ctf_full * pri)
+
+
+# ======================================================================
 # host-side orchestration
 # ======================================================================
 
 
-class HemisphereData(NamedTuple):
-    ft_masked: jax.Array
-    ft_ori: jax.Array
-    ctf_params: CtfParams
-    group_id: jax.Array
-    index: np.ndarray          # original particle indices (for .thu export)
+class StackedData(NamedTuple):
+    """Both hemispheres' images, stacked on a leading axis of size 2
+    (hemisphere A = index 0, B = 1 — the reference's odd/even rank
+    split, src/Parallel.cpp:34-35).  Arrays are padded so both
+    hemispheres hold the same L (and L divides the data-axis size on a
+    mesh); ``Optimiser.valid`` marks the real entries."""
+
+    ft_masked: jax.Array       # (2, L, size, size) complex64
+    ft_ori: jax.Array          # (2, L, size, size) complex64
+    ctf_params: CtfParams      # fields (2, L)
+    group_id: jax.Array        # (2, L) int32
 
 
 @dataclass
-class HemisphereState:
-    refs: jax.Array            # (K, size, size[, size]) real space FFT layout
-    sigma: jax.Array           # (n_group, max_r)
-    par: pt.ParticleState
-    cls: jax.Array             # (L,)
+class StackedState:
+    refs: jax.Array            # (2, K, size, size[, size]) real space
+    sigma: jax.Array           # (2, n_group, max_r)
+    par: pt.ParticleState      # fields (2, L, ...)
+    cls: jax.Array             # (2, L)
     w_c: np.ndarray | None = None
 
 
@@ -668,7 +938,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 class Optimiser:
-    """Host orchestration of one refinement/classification run."""
+    """Host orchestration of one refinement/classification run.
+
+    All device state carries a leading hemisphere axis of size 2 and
+    every hot stage runs as ONE hemi-stacked jitted program (see the
+    SPMD wrapper section above).  ``mesh`` may provide axes "hemi"
+    and/or "data": arrays are placed so the partitioner runs hemisphere
+    A on one mesh half and B on the other with images sharded along
+    "data" — the reference's whole MPI topology (Parallel.cpp:17-67)
+    as one SPMD program.  Round-level control (resolution cutoffs,
+    search-type state machine, class balancing) stays on host, exactly
+    as the reference's master rank does (Optimiser.cpp:3561-4364).
+    """
 
     def __init__(self, cfg: ThunderConfig, images: np.ndarray,
                  ctf: CtfParams, group_id: np.ndarray,
@@ -679,22 +960,37 @@ class Optimiser:
         """resume_thu: a ThuTable carrying saved poses; used when
         cfg.g_search is False to rebuild each image's particle cloud
         around its checkpointed pose (loadParticles, Optimiser.cpp:5312
-        + Particle::load).
-
-        mesh: optional jax Mesh with a "data" axis.  Each hemisphere's
-        image-indexed arrays are sharded over it; the jitted stages then
-        run SPMD with XLA-inserted collectives (the psum over data that
-        replaces MPI_Allreduce_Large + NCCL, SURVEY §2.4).  Image counts
-        per hemisphere must divide the data-axis size."""
+        + Particle::load)."""
         self.cfg = cfg
         self.key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         self.sym = Symmetry(cfg.sym) if not cfg.mode_2d else Symmetry("C1")
         self.mode = pt.MODE_2D if cfg.mode_2d else pt.MODE_3D
         n = images.shape[0]
+        if n < 2:
+            raise ValueError("need at least one image per hemisphere")
         if hemi_of is None:
             hemi_of = np.arange(n) % 2
         self.hemi_of = hemi_of
+        self.n_total = n
         self.n_group = int(group_id.max()) + 1 if n else 1
+        self.mesh = mesh
+
+        # shardings from the mesh (either axis may be absent)
+        self._sh_img = None
+        self._sh_state = None
+        data_size = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = mesh.axis_names
+            hemi_ax = "hemi" if "hemi" in axes else None
+            data_ax = "data" if "data" in axes else None
+            if data_ax:
+                data_size = mesh.shape[data_ax]
+            self._sh_img = lambda extra: NamedSharding(
+                mesh, P(hemi_ax, data_ax, *([None] * extra)))
+            self._sh_state = lambda extra: NamedSharding(
+                mesh, P(hemi_ax, *([None] * extra)))
 
         self.model = ModelState(
             n_class=cfg.k, size=cfg.size, pixel_size=cfg.pixel_size,
@@ -705,10 +1001,72 @@ class Optimiser:
             self.model.search_type = SEARCH_TYPE_LOCAL
             self.model.r = min(cfg.max_r, max(self.model.r, cfg.r_global))
 
-        self.data: list[HemisphereData] = []
-        self.state: list[HemisphereState] = []
+        # hemisphere split, padded to a common (data-divisible) L; pads
+        # repeat real images cyclically and carry zero insertion weight
+        sel = [np.nonzero(hemi_of == h)[0] for h in (0, 1)]
+        if min(len(s) for s in sel) == 0:
+            raise ValueError("a hemisphere is empty; both halves need images")
+        L = _round_up(max(len(s) for s in sel), data_size)
+        self.index = np.stack([np.resize(s, L) for s in sel])
+        self.valid = np.stack([np.arange(L) < len(s) for s in sel])
+        self.n_img = L
+
+        flat = self.index.reshape(-1)
+        prep = preprocess_images(
+            jnp.asarray(np.asarray(images)[flat]),
+            cfg.mask_radius / cfg.pixel_size, zero_mask=cfg.zero_mask,
+        )
+        s2 = (2, L, cfg.size, cfg.size)
+        self.data = StackedData(
+            ft_masked=prep.ft_masked.reshape(s2),
+            ft_ori=prep.ft_ori.reshape(s2),
+            ctf_params=CtfParams(
+                *[jnp.asarray(np.asarray(f)[flat].reshape(2, L))
+                  for f in ctf]),
+            group_id=jnp.asarray(
+                group_id[flat].astype(np.int32).reshape(2, L)),
+        )
+
+        ft_ori = self.data.ft_ori
+        sigma = jnp.stack([
+            jnp.broadcast_to(init_sigma(ft_ori[h], cfg.max_r),
+                             (self.n_group, cfg.max_r))
+            for h in (0, 1)
+        ])
+
+        if init_refs is None:
+            refs = self._blank_refs()
+        else:
+            refs = np.asarray(init_refs, dtype=np.float32)
+            if refs.ndim == (2 if cfg.mode_2d else 3):
+                refs = np.repeat(refs[None], cfg.k, axis=0)
+        refs2 = jnp.stack([jnp.asarray(refs)] * 2)
+
+        self.key, sub = jax.random.split(self.key)
+        n_d = cfg.m_l_d if cfg.c_search else 1
+        if resume_thu is not None and not cfg.g_search:
+            t = resume_thu
+            par = pt.from_thu(
+                t.quat[flat], t.trans[flat], t.std_trans[flat],
+                np.stack([t.k1[flat], t.k2[flat], t.k3[flat]], axis=1),
+                t.defocus_factor[flat], t.std_defocus_factor[flat],
+                cfg.n_rot_local, cfg.m_l_t, n_d, sub, self.mode,
+            )
+            cls = jnp.asarray(
+                np.clip(t.class_id[flat], 0, cfg.k - 1)
+                .astype(np.int32).reshape(2, L)
+            )
+        else:
+            par = pt.init_particles(sub, 2 * L, cfg.n_rot_local, cfg.m_l_t,
+                                    n_d, cfg.trans_s, self.mode)
+            self.key, sub = jax.random.split(self.key)
+            cls = jax.random.randint(sub, (2, L), 0, cfg.k)
+        par = jax.tree.map(lambda a: a.reshape((2, L) + a.shape[1:]), par)
+
+        self.state = StackedState(refs=refs2, sigma=sigma, par=par, cls=cls)
+        self.offset = jnp.zeros((2, L, 2), jnp.float32)
+        self.valid_dev = jnp.asarray(self.valid.astype(np.float32))
         self.round_records: list[dict] = []
-        self.offset: list[jax.Array] = []
         self._ref_mask = None
         if cfg.perform_mask and cfg.mask_path:
             from thunder_tpu.io.mrc import read_mrc
@@ -718,80 +1076,31 @@ class Optimiser:
             except FileNotFoundError:
                 self._ref_mask = None
 
-        for h in (0, 1):
-            sel = np.nonzero(hemi_of == h)[0]
-            imgs_h = jnp.asarray(images[sel])
-            prep = preprocess_images(imgs_h, cfg.mask_radius / cfg.pixel_size,
-                                     zero_mask=cfg.zero_mask)
-            ctf_h = CtfParams(*[jnp.asarray(np.asarray(f)[sel]) for f in ctf])
-            data = HemisphereData(
-                ft_masked=prep.ft_masked, ft_ori=prep.ft_ori,
-                ctf_params=ctf_h,
-                group_id=jnp.asarray(group_id[sel].astype(np.int32)),
-                index=sel,
-            )
-            sigma0 = init_sigma(prep.ft_ori, cfg.max_r)
-            sigma = jnp.broadcast_to(sigma0, (self.n_group, cfg.max_r))
-
-            if init_refs is None:
-                refs = self._blank_refs()
-            else:
-                refs = np.asarray(init_refs, dtype=np.float32)
-                if refs.ndim == (2 if cfg.mode_2d else 3):
-                    refs = np.repeat(refs[None], cfg.k, axis=0)
-
-            self.key, sub = jax.random.split(self.key)
-            n_d = cfg.m_l_d if cfg.c_search else 1
-            if resume_thu is not None and not cfg.g_search:
-                t = resume_thu
-                par = pt.from_thu(
-                    t.quat[sel], t.trans[sel], t.std_trans[sel],
-                    np.stack([t.k1[sel], t.k2[sel], t.k3[sel]], axis=1),
-                    t.defocus_factor[sel], t.std_defocus_factor[sel],
-                    cfg.n_rot_local, cfg.m_l_t, n_d, sub, self.mode,
-                )
-                cls = jnp.asarray(
-                    np.clip(t.class_id[sel], 0, cfg.k - 1).astype(np.int32)
-                )
-            else:
-                par = pt.init_particles(
-                    sub, len(sel), cfg.n_rot_local, cfg.m_l_t,
-                    n_d, cfg.trans_s, self.mode,
-                )
-                self.key, sub = jax.random.split(self.key)
-                cls = jax.random.randint(sub, (len(sel),), 0, cfg.k)
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                def shard(x, n_extra):
-                    return jax.device_put(
-                        x, NamedSharding(mesh, P("data", *([None] * n_extra)))
-                    )
-
-                data = HemisphereData(
-                    ft_masked=shard(data.ft_masked, 2),
-                    ft_ori=shard(data.ft_ori, 2),
-                    ctf_params=CtfParams(*[shard(f, 0) for f in data.ctf_params]),
-                    group_id=shard(data.group_id, 0),
-                    index=data.index,
-                )
-                par = jax.tree.map(lambda a: shard(a, a.ndim - 1), par)
-                cls = shard(cls, 0)
-
-            self.data.append(data)
-            self.state.append(
-                HemisphereState(refs=jnp.asarray(refs), sigma=sigma,
-                                par=par, cls=cls)
-            )
-            off = jnp.zeros((len(sel), 2), jnp.float32)
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                off = jax.device_put(off, NamedSharding(mesh, P("data", None)))
-            self.offset.append(off)
-        self.mesh = mesh
+        if mesh is not None:
+            self._apply_shardings()
 
     # ------------------------------------------------------------------
+
+    def _apply_shardings(self):
+        """Commit every device array to its mesh placement; subsequent
+        jitted stages inherit the layout and the partitioner inserts
+        the psum-over-data / hemi-split collectives."""
+        put_i = lambda a, extra: jax.device_put(a, self._sh_img(extra))
+        put_s = lambda a, extra: jax.device_put(a, self._sh_state(extra))
+        d = self.data
+        self.data = StackedData(
+            ft_masked=put_i(d.ft_masked, 2),
+            ft_ori=put_i(d.ft_ori, 2),
+            ctf_params=CtfParams(*[put_i(f, 0) for f in d.ctf_params]),
+            group_id=put_i(d.group_id, 0),
+        )
+        s = self.state
+        s.refs = put_s(s.refs, s.refs.ndim - 1)
+        s.sigma = put_s(s.sigma, 2)
+        s.par = jax.tree.map(lambda a: put_i(a, a.ndim - 2), s.par)
+        s.cls = put_i(s.cls, 0)
+        self.offset = put_i(self.offset, 1)
+        self.valid_dev = put_i(self.valid_dev, 0)
 
     def _blank_refs(self) -> np.ndarray:
         cfg = self.cfg
@@ -809,14 +1118,20 @@ class Optimiser:
     def _rings(self) -> PackedRings:
         return pack_rings(self.cfg.size, int(self.model.r), self.cfg.r_low)
 
-    def _pack_inputs(self, h: int, rings: PackedRings):
+    def _pack_inputs(self, rings: PackedRings):
         cfg = self.cfg
-        d = self.data[h]
-        s = self.state[h]
-        return _pack_inputs_jit(
-            d.ft_masked, d.ctf_params, s.sigma, d.group_id,
-            rings.i_col, rings.i_row, rings.i_sig, rings.mask,
-            cfg.size, float(cfg.pixel_size),
+        return _pack_inputs_h(
+            self.data.ft_masked, self.data.ctf_params, self.state.sigma,
+            self.data.group_id, rings.i_col, rings.i_row, rings.i_sig,
+            rings.mask, cfg.size, float(cfg.pixel_size),
+        )
+
+    def _proj_stack(self, rings: PackedRings, refs=None):
+        cfg = self.cfg
+        return _prepare_projectee_stack_h(
+            self.state.refs if refs is None else refs,
+            cfg.size, cfg.pf, cfg.mode_2d,
+            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
         )
 
     # -- global search --------------------------------------------------
@@ -828,11 +1143,8 @@ class Optimiser:
                       * cfg.trans_search_factor))
         return max(MIN_N_TRANSLATION_GLOBAL, n)
 
-    def expectation_global(self, h: int, rings: PackedRings):
+    def expectation_global(self, rings: PackedRings):
         cfg = self.cfg
-        d = self.data[h]
-        s = self.state[h]
-        n_img = d.ft_masked.shape[0]
 
         if cfg.mode_2d:
             n_rot = cfg.n_rot_global
@@ -844,43 +1156,40 @@ class Optimiser:
             n_rot = _round_up(n_rot, _ROT_BLOCK)
         n_trans = self._n_trans_global()
 
+        # each hemisphere draws its own pose grid (leading axis 2)
         self.key, kr, kt = jax.random.split(self.key, 3)
         if cfg.mode_2d:
-            phi = jax.random.uniform(kr, (n_rot,), maxval=2 * jnp.pi)
+            phi = jax.random.uniform(kr, (2, n_rot), maxval=2 * jnp.pi)
             quats = jnp.stack(
                 [jnp.cos(phi), jnp.sin(phi), jnp.zeros_like(phi),
                  jnp.zeros_like(phi)], axis=-1)
             rot = rotate2d_from_unit(quats[..., :2])
         else:
-            quats = random_quat(kr, (n_rot,))
+            quats = random_quat(kr, (2, n_rot))
             rot = rotate3d(quats)
-        trans = jax.random.normal(kt, (n_trans, 2)) * cfg.trans_s
+        trans = jax.random.normal(kt, (2, n_trans, 2)) * cfg.trans_s
 
-        dat_w, sctf2, a_term = self._pack_inputs(h, rings)
+        dat_w, sctf2, a_term = self._pack_inputs(rings)
         tra = translate_phases(rings, trans)
-
-        proj_stack = _prepare_projectee_stack(
-            s.refs, cfg.size, cfg.pf, cfg.mode_2d,
-            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
-        )
+        proj_stack = self._proj_stack(rings)
 
         block = min(_ROT_BLOCK, n_rot)
         n_blocks = (n_rot + block - 1) // block
-
         d_rot = 2 if cfg.mode_2d else 3
-        rot_blocks = rot.reshape(n_blocks, block, d_rot, d_rot)
-        w_c, w_r, w_t = _global_search(
+        rot_blocks = rot.reshape(2, n_blocks, block, d_rot, d_rot)
+        w_c, w_r, w_t = _global_search_h(
             proj_stack, rot_blocks, rings.i_col, rings.i_row,
             dat_w, sctf2, a_term, tra, cfg.size, cfg.pf, cfg.mode_2d,
         )
         return dict(w_c=w_c, w_r=w_r, w_t=w_t, quats=quats, trans=trans)
 
-    def adopt_global(self, h: int, g: dict):
+    def adopt_global(self, g: dict):
         cfg = self.cfg
-        s = self.state[h]
+        s = self.state
         self.key, sub = jax.random.split(self.key)
-        par, cls, w_c_norm = _adopt_global_jit(
-            sub, g["w_c"], g["w_r"], g["w_t"], g["quats"], g["trans"],
+        keys = jax.random.split(sub, 2)
+        par, cls, w_c_norm = _adopt_global_h(
+            keys, g["w_c"], g["w_r"], g["w_t"], g["quats"], g["trans"],
             s.par.d, s.par.w_d, s.par.u_d,
             cfg.n_rot_local, cfg.m_l_t, self.mode,
         )
@@ -890,15 +1199,10 @@ class Optimiser:
 
     # -- local phases ---------------------------------------------------
 
-    def local_phases(self, h: int, rings: PackedRings) -> int:
+    def local_phases(self, rings: PackedRings) -> list[int]:
         cfg = self.cfg
-        d = self.data[h]
-        s = self.state[h]
-        dat_w, sctf2, a_term = self._pack_inputs(h, rings)
-        proj_stack = _prepare_projectee_stack(
-            s.refs, cfg.size, cfg.pf, cfg.mode_2d,
-            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
-        )
+        s = self.state
+        proj_stack = self._proj_stack(rings)
 
         is_global = self.model.search_type == SEARCH_TYPE_GLOBAL
         is_ctf = self.model.search_type == SEARCH_TYPE_CTF and cfg.c_search
@@ -908,78 +1212,48 @@ class Optimiser:
                     else (cfg.perturb_factor_s_ctf if is_ctf
                           else cfg.perturb_factor_s_local))
 
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, 2)
         if is_ctf:
-            # defocus refinement re-evaluates the CTF per support point
-            dat = extract_packed(d.ft_masked, rings)
-            sig = s.sigma[d.group_id[:, None], rings.i_sig[None, :]]
-            sig_rcp = sigma_to_sig_rcp(sig) * rings.mask
-            dat_s = sig_rcp.astype(jnp.complex64) * dat
             # first CTF round: seed the defocus std (ctfRefineS)
             if float(jnp.max(s.par.s_d)) == 0.0:
                 s.par = s.par._replace(
                     s_d=jnp.full_like(s.par.s_d, cfg.ctf_refine_s)
                 )
-
-        if is_ctf:
-            # CTF refinement keeps a host loop (per-support CTF
-            # re-evaluation path); phase counts are small here
-            par = s.par
-            n_no_dec = 0
-            prev = None
-            phase = 0
-            for phase in range(MAX_N_PHASE_PER_ITER):
-                self.key, sub = jax.random.split(self.key)
-                par, vari = _phase_step_ctf(
-                    sub, par, s.cls, proj_stack, rings.i_col, rings.i_row,
-                    dat_s, sig_rcp, a_term, d.ctf_params, cfg.size, cfg.pf,
-                    self.mode, float(pf_small), float(cfg.trans_s),
-                    float(cfg.pixel_size),
-                )
-                k1, s0, s1 = (float(v) for v in vari)
-                if phase + 1 >= min_phase and prev is not None:
-                    pk1, ps0, ps1 = prev
-                    f = PARTICLE_FILTER_DECREASE_FACTOR
-                    decreased = (k1 < pk1 * f) or (s0 < ps0 * f) or (s1 < ps1 * f)
-                    n_no_dec = 0 if decreased else n_no_dec + 1
-                    if n_no_dec >= N_PHASE_WITH_NO_VARI_DECREASE:
-                        prev = (k1, s0, s1)
-                        break
-                prev = (k1, s0, s1)
-            n_phases = phase + 1
+            par, phases = _phase_loop_ctf_h(
+                keys, s.par, s.cls, proj_stack, rings.i_col, rings.i_row,
+                rings.i_sig, rings.mask, self.data.ft_masked, s.sigma,
+                self.data.group_id, self.data.ctf_params,
+                cfg.size, cfg.pf, self.mode, float(pf_small),
+                float(cfg.trans_s), float(cfg.pixel_size),
+                int(min_phase), MAX_N_PHASE_PER_ITER,
+            )
         else:
-            # whole adaptive loop in one device program
-            self.key, sub = jax.random.split(self.key)
-            par, phase = _phase_loop(
-                sub, s.par, s.cls, proj_stack, rings.i_col, rings.i_row,
+            dat_w, sctf2, a_term = self._pack_inputs(rings)
+            par, phases = _phase_loop_h(
+                keys, s.par, s.cls, proj_stack, rings.i_col, rings.i_row,
                 dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
                 float(pf_small), float(cfg.trans_s), int(min_phase),
                 MAX_N_PHASE_PER_ITER,
             )
-            n_phases = int(phase)
-        par = _finish_phases(par, self.sym.quats, self.mode,
-                             self.sym.order > 1 and not cfg.mode_2d)
+        par = _finish_phases_h(par, self.sym.quats, self.mode,
+                               self.sym.order > 1 and not cfg.mode_2d)
         s.par = par
-        return n_phases
+        return [int(p) for p in np.asarray(phases)]
 
     # -- maximization ---------------------------------------------------
 
-    def refresh_sigma(self, h: int):
+    def refresh_sigma(self):
         cfg = self.cfg
-        d = self.data[h]
-        s = self.state[h]
+        s = self.state
         rings = pack_rings(cfg.size, cfg.max_r, 0)
-        dat = extract_packed(d.ft_ori, rings)
-        ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
-                         cfg.size, cfg.pixel_size)
-        proj_stack = _prepare_projectee_stack(
-            s.refs, cfg.size, cfg.pf, cfg.mode_2d,
-            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
-        )
-        s.sigma = _sigma_step(
-            dat, ctf, rings.mask, rings.i_col, rings.i_row, rings.i_sig,
-            proj_stack, s.cls, s.par.top_r, s.par.top_t - self.offset[h],
-            d.group_id, s.sigma, jnp.asarray(cfg.max_r),
-            cfg.size, cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
+        proj_stack = self._proj_stack(rings)
+        s.sigma = _sigma_step_h(
+            self.data.ft_ori, self.data.ctf_params, rings.mask,
+            rings.i_col, rings.i_row, rings.i_sig, proj_stack, s.cls,
+            s.par.top_r, s.par.top_t - self.offset, self.data.group_id,
+            s.sigma, jnp.asarray(cfg.max_r), cfg.size, cfg.pf,
+            cfg.mode_2d, cfg.max_r, self.n_group, float(cfg.pixel_size),
         )
 
     def solvent_flatten(self, apply_mask: bool):
@@ -997,48 +1271,40 @@ class Optimiser:
             w = jnp.asarray(soft_mask_weight(
                 cfg.size, nd, cfg.mask_radius / cfg.pixel_size, EDGE_WIDTH_RL
             ))
-        for h in (0, 1):
-            self.state[h].refs = self.state[h].refs * w[None]
+        self.state.refs = self.state.refs * w[None, None]
 
-    def _refresh_masked(self, h: int):
+    def _refresh_masked(self):
         """Rebuild the soft-masked spectra from offset-translated
         originals (reMaskImg, Optimiser.cpp:6093-6149)."""
         cfg = self.cfg
-        from thunder_tpu.constants import EDGE_WIDTH_RL
-        from thunder_tpu.ops.fourier import ifft2_centered, fft2_centered
-        from thunder_tpu.physics.mask import soft_mask_weight
-
-        d = self.data[h]
-        off = self.offset[h]
-        size = cfg.size
-        c = size // 2
-        k = jnp.arange(size, dtype=jnp.float32) - c
-        phase = (2 * jnp.pi / size) * (
-            k[None, None, :] * off[:, 0, None, None]
-            + k[None, :, None] * off[:, 1, None, None]
-        )
-        shifted = d.ft_ori * jnp.exp(-1j * phase).astype(jnp.complex64)
-        rl = ifft2_centered(shifted)
-        w = jnp.asarray(soft_mask_weight(
-            size, 2, cfg.mask_radius / cfg.pixel_size, EDGE_WIDTH_RL
-        ))
-        masked = rl * w[None]
-        self.data[h] = d._replace(
-            ft_masked=fft2_centered(masked).astype(jnp.complex64)
+        self.data = self.data._replace(
+            ft_masked=_remask_h(self.data.ft_ori, self.offset, cfg.size,
+                                float(cfg.mask_radius / cfg.pixel_size))
         )
 
-    def re_centre_img(self, h: int):
+    def re_centre_img(self):
         """Accumulate the rank-1 translation into the per-image offset
         and shift the particle cloud back (reCentreImg,
         Optimiser.cpp:6065-6090).  Images themselves are not rewritten;
         the offset enters the alignment as (t - offset) wherever the
         original images are used."""
-        s = self.state[h]
-        tran = s.par.top_t
-        self.offset[h] = self.offset[h] - tran
+        s = self.state
+        tran = s.par.top_t                            # (2, L, 2)
+        self.offset = self.offset - tran
         s.par = s.par._replace(
-            t=s.par.t - tran[:, None, :],
+            t=s.par.t - tran[:, :, None, :],
             top_t=s.par.top_t - tran,
+        )
+
+    def _resid_stats(self, rings: PackedRings):
+        cfg = self.cfg
+        s = self.state
+        proj_stack = self._proj_stack(rings)
+        return _resid_stats_h(
+            self.data.ft_ori, self.data.ctf_params, proj_stack, s.cls,
+            s.par.top_r, s.par.top_t - self.offset, rings.i_col,
+            rings.i_row, rings.mask, cfg.size, cfg.pf, cfg.mode_2d,
+            float(cfg.pixel_size),
         )
 
     def norm_correction(self):
@@ -1046,42 +1312,17 @@ class Optimiser:
         (normCorrection, Optimiser.cpp:6201-6394): norm_l = ring-limited
         |ori - ctf proj(rank1)|^2, images *= sqrt(median/norm_l)."""
         cfg = self.cfg
-        r_norm = min(int(self.model.r),
-                     self.model.resolution_p(0.75))
+        r_norm = min(int(self.model.r), self.model.resolution_p(0.75))
         r_norm = max(r_norm, cfg.r_low + 2)
         rings = pack_rings(cfg.size, r_norm, cfg.r_low)
-        norms = []
-        for h in (0, 1):
-            d = self.data[h]
-            s = self.state[h]
-            dat = extract_packed(d.ft_ori, rings)
-            ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
-                             cfg.size, cfg.pixel_size)
-            proj_stack = _prepare_projectee_stack(
-                s.refs, cfg.size, cfg.pf, cfg.mode_2d,
-                _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
-            )
-            if cfg.mode_2d:
-                rot = rotate2d_from_unit(s.par.top_r[..., :2])
-            else:
-                rot = rotate3d(s.par.top_r)
-            pri = project_classed(
-                proj_stack, s.cls, rot[:, None],
-                _RingsView(rings.i_col, rings.i_row, cfg.size),
-                cfg.pf, cfg.mode_2d,
-            )[:, 0]
-            eff_t = s.par.top_t - self.offset[h]
-            tra = translate_phases(rings, eff_t[:, None])[:, 0]
-            resid = dat - ctf * tra * pri
-            norms.append(jnp.sum(jnp.abs(resid) ** 2 * rings.mask, axis=-1))
-        med = float(jnp.median(jnp.concatenate(norms)))
-        for h in (0, 1):
-            d = self.data[h]
-            scale = jnp.sqrt(med / jnp.maximum(norms[h], 1e-30))
-            self.data[h] = d._replace(
-                ft_masked=d.ft_masked * scale[:, None, None],
-                ft_ori=d.ft_ori * scale[:, None, None],
-            )
+        norms, _, _ = self._resid_stats(rings)        # (2, L)
+        med = float(np.median(np.asarray(norms)[self.valid]))
+        scale = jnp.sqrt(med / jnp.maximum(norms, 1e-30))
+        d = self.data
+        self.data = d._replace(
+            ft_masked=d.ft_masked * scale[..., None, None],
+            ft_ori=d.ft_ori * scale[..., None, None],
+        )
 
     def balance_classes(self):
         """Reassign starved classes' references from well-populated ones
@@ -1090,80 +1331,60 @@ class Optimiser:
         cfg = self.cfg
         if cfg.k <= 1:
             return []
-        cls = np.concatenate([np.asarray(self.state[h].cls) for h in (0, 1)])
+        cls = np.asarray(self.state.cls)[self.valid]
         distr = np.bincount(cls, minlength=cfg.k) / max(len(cls), 1)
         thres = 0.05 / cfg.k  # CLASS_BALANCE_FACTOR (Optimiser.h:71)
         heavy = int(np.argmax(distr))
         reborn = []
         for t in range(cfg.k):
             if distr[t] < thres:
-                for h in (0, 1):
-                    self.state[h].refs = self.state[h].refs.at[t].set(
-                        self.state[h].refs[heavy]
-                    )
+                self.state.refs = self.state.refs.at[:, t].set(
+                    self.state.refs[:, heavy]
+                )
                 reborn.append(t)
         return reborn
 
-    def refresh_scale(self, h: int, r_s: int | None = None,
+    def refresh_scale(self, r_s: int | None = None,
                       group: bool | None = None) -> jax.Array:
         """Per-group intensity scale = sum Re(dat conj(ctf pri)) /
         sum ctf^2 |pri|^2 over shells < r_s at the rank-1 pose
-        (refreshScale, Optimiser.cpp:5749-6063 + scaleDataVSPrior)."""
+        (refreshScale, Optimiser.cpp:5749-6063 + scaleDataVSPrior).
+        Returns (2, n_group)."""
         cfg = self.cfg
-        d = self.data[h]
-        s = self.state[h]
         if group is None:
             group = cfg.group_scl
         if r_s is None:
             r_s = max(2, min(int(self.model.r),
                              cfg.res_a2p(cfg.sclCor_res)))
         rings = pack_rings(cfg.size, r_s, 0)
-        dat = extract_packed(d.ft_ori, rings)
-        ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
-                         cfg.size, cfg.pixel_size)
-        proj_stack = _prepare_projectee_stack(
-            s.refs, cfg.size, cfg.pf, cfg.mode_2d,
-            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
-        )
-        if cfg.mode_2d:
-            rot = rotate2d_from_unit(s.par.top_r[..., :2])
-        else:
-            rot = rotate3d(s.par.top_r)
-        pri = project_classed(proj_stack, s.cls, rot[:, None],
-                              _RingsView(rings.i_col, rings.i_row, cfg.size),
-                              cfg.pf, cfg.mode_2d)[:, 0]
-        eff_t = s.par.top_t - self.offset[h]
-        tra = translate_phases(rings, eff_t[:, None])[:, 0]
-        pri = pri * tra
-        xa = jnp.sum(jnp.real(dat * jnp.conj(pri)) * ctf * rings.mask, axis=-1)
-        aa = jnp.sum(jnp.abs(pri) ** 2 * ctf * ctf * rings.mask, axis=-1)
+        _, xa, aa = self._resid_stats(rings)          # (2, L)
+        xa = xa * self.valid_dev
+        aa = aa * self.valid_dev
         if group:
+            g_id = self.data.group_id
             n_group = self.n_group
-            xa_g = jnp.zeros(n_group).at[d.group_id].add(xa)
-            aa_g = jnp.zeros(n_group).at[d.group_id].add(aa)
-            scale = xa_g / jnp.maximum(aa_g, 1e-30)
-        else:
-            scale = jnp.full(
-                (self.n_group,), jnp.sum(xa) / jnp.maximum(jnp.sum(aa), 1e-30)
-            )
-        return scale
+            xa_g = jax.vmap(lambda x, g: jnp.zeros(n_group).at[g].add(x))(xa, g_id)
+            aa_g = jax.vmap(lambda x, g: jnp.zeros(n_group).at[g].add(x))(aa, g_id)
+            return xa_g / jnp.maximum(aa_g, 1e-30)
+        tot = jnp.sum(xa, axis=1) / jnp.maximum(jnp.sum(aa, axis=1), 1e-30)
+        return jnp.broadcast_to(tot[:, None], (2, self.n_group))
 
     def correct_scale(self, init: bool = False):
         """Apply the refreshed scale: scale the references (init) or
         divide the images + sigma (correctScale, Optimiser.cpp:5103-5143)."""
-        for h in (0, 1):
-            scale = self.refresh_scale(h)
-            if init:
-                s0 = scale[0]
-                self.state[h].refs = self.state[h].refs * s0
-            else:
-                d = self.data[h]
-                per_img = scale[d.group_id]
-                self.data[h] = d._replace(
-                    ft_masked=d.ft_masked / per_img[:, None, None],
-                    ft_ori=d.ft_ori / per_img[:, None, None],
-                )
-                self.state[h].sigma = self.state[h].sigma / (scale[:, None] ** 2)
+        scale = self.refresh_scale()                  # (2, n_group)
+        s = self.state
+        if init:
+            s0 = scale[:, 0].reshape((2,) + (1,) * (s.refs.ndim - 1))
+            s.refs = s.refs * s0
+        else:
+            per_img = jnp.take_along_axis(scale, self.data.group_id, axis=1)
+            d = self.data
+            self.data = d._replace(
+                ft_masked=d.ft_masked / per_img[..., None, None],
+                ft_ori=d.ft_ori / per_img[..., None, None],
+            )
+            s.sigma = s.sigma / (scale[..., None] ** 2)
 
     def _reco_grid_size(self, r_u: int) -> int:
         """Cropped reconstructor box (Model::resetReco, Model.cpp:1113):
@@ -1173,85 +1394,54 @@ class Optimiser:
         size_r = max(16, size_r + (size_r % 2))
         return size_r
 
-    def reconstruct_round(self, h: int):
+    def reconstruct_round(self):
+        """Draw poses + insert both hemispheres' images into per-class
+        (F, T) grids — one device program (reconstructRef,
+        Optimiser.cpp:6711-7233).  Returns (f (2,K,...), t (2,K,...),
+        r_u, grid_size)."""
         cfg = self.cfg
-        d = self.data[h]
-        s = self.state[h]
+        s = self.state
         r_u = min(int(self.model.r) + 3, cfg.max_r)
         grid_size = self._reco_grid_size(r_u)
         rings = pack_rings(cfg.size, r_u, 0)
 
-        dat = extract_packed(d.ft_ori, rings) * rings.mask
-        ctf = ctf_packed(d.ctf_params, rings.i_col, rings.i_row,
-                         cfg.size, cfg.pixel_size)
-
         self.key, kd = jax.random.split(self.key)
-        n_draw = min(cfg.m_reco, s.par.n_r * s.par.n_t)
-        quats, trans, d_draw = pt.draw_poses(kd, s.par, n_draw)
+        keys = jax.random.split(kd, 2)
+        n_draw = min(cfg.m_reco, s.par.r.shape[2] * s.par.t.shape[2])
+        quats, trans, d_draw = _draw_poses_h(keys, s.par, n_draw)
         # alignment against the ORIGINAL images: t - offset (the cloud
         # tracks re-centred images; insertion reads ft_ori)
-        trans = trans - self.offset[h][:, None, :]
+        trans = trans - self.offset[:, :, None, :]
         w_draw = 1.0 / n_draw
 
-        if cfg.c_search and self.model.search_type == SEARCH_TYPE_CTF:
-            from thunder_tpu.physics.ctf import ctf_packed_scaled
-
-            ctf = ctf_packed_scaled(d.ctf_params, rings.i_col, rings.i_row,
-                                    cfg.size, cfg.pixel_size, d_draw)
+        use_d = bool(cfg.c_search
+                     and self.model.search_type == SEARCH_TYPE_CTF)
 
         if cfg.par_gra:
-            score = s.par.score / jnp.maximum(jnp.max(s.par.score), 1e-12)
-            w_img = score
+            smax = jnp.max(s.par.score * self.valid_dev)
+            w_img = s.par.score / jnp.maximum(smax, 1e-12)
         else:
-            w_img = jnp.ones((dat.shape[0],), jnp.float32)
+            w_img = jnp.ones_like(s.par.score)
+        w_img = w_img * self.valid_dev                # pads insert nothing
 
         # all classes in one dispatch: one-hot class weights, vmapped
         # insertion (Optimiser::reconstructRef's per-class loop)
-        w_l_all = ((s.cls[None, :] == jnp.arange(cfg.k)[:, None])
-                   .astype(jnp.float32) * (w_img * w_draw)[None, :])
-        f_all, t_all = _insert_all_classes(
-            dat, ctf, rings.mask, rings.i_col, rings.i_row,
-            quats, trans, w_l_all, self.sym.matrices,
-            jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
+        w_l_all = ((s.cls[:, None, :] == jnp.arange(cfg.k)[None, :, None])
+                   .astype(jnp.float32) * (w_img * w_draw)[:, None, :])
+        f2, t2 = _insert_all_h(
+            self.data.ft_ori, self.data.ctf_params, rings.mask,
+            rings.i_col, rings.i_row, quats, trans, d_draw, w_l_all,
+            self.sym.matrices, jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
             cfg.size, cfg.pf, cfg.mode_2d, self.sym.order, grid_size,
+            float(cfg.pixel_size), use_d,
         )
-        pairs = [(f_all[t], t_all[t]) for t in range(cfg.k)]
-        return pairs, r_u, grid_size
+        return f2, t2, r_u, grid_size
 
-    # -- one full round --------------------------------------------------
-
-    def run_round(self, i_round: int) -> dict:
+    def _reconstruct_and_compare(self, record: dict):
+        """Reconstruction + cross-hemisphere FSC + conditional averaging
+        (reconstructRef + Model::compareTwoHemispheres)."""
         cfg = self.cfg
-        t0 = time.time()
-        rings = self._rings()
-        record = dict(round=i_round, r=int(self.model.r),
-                      search_type=int(self.model.search_type))
-
-        n_phases = []
-        for h in (0, 1):
-            if self.model.search_type == SEARCH_TYPE_GLOBAL and cfg.g_search:
-                g = self.expectation_global(h, rings)
-                self.adopt_global(h, g)
-            n_phases.append(self.local_phases(h, rings))
-        record["n_phases"] = n_phases
-
-        # translation-variance statistic over all particles: MEDIAN, as
-        # the reference's stat_MAS (refreshVariance, Optimiser.cpp:5740;
-        # Functions.cpp:254) — stable enough for the 2% stagnation test
-        s0_all = jnp.concatenate([self.state[h].par.s0 for h in (0, 1)])
-        s1_all = jnp.concatenate([self.state[h].par.s1 for h in (0, 1)])
-        self.model.set_t_vari(float(jnp.median(s0_all)),
-                              float(jnp.median(s1_all)))
-
-        # maximization (Optimiser::maximization, Optimiser.cpp:3405-3559)
-        if i_round != 0 and self.model.search_type != SEARCH_TYPE_GLOBAL:
-            self.norm_correction()
-
-        ft_pairs = []
-        for h in (0, 1):
-            self.refresh_sigma(h)
-            pairs, r_u, grid_size = self.reconstruct_round(h)
-            ft_pairs.append(pairs)
+        f2, t2, r_u, grid_size = self.reconstruct_round()
 
         # reconstruct with the PREVIOUS round's FSC (the reference's
         # Model holds _FSC from compareTwoHemispheres of the prior
@@ -1260,15 +1450,12 @@ class Optimiser:
         # result is Fourier-resampled back to the full box
         fsc_prev = np.asarray(self.model.fsc, dtype=np.float32)
         if fsc_prev.shape[0] < cfg.k:
-            fsc_prev = np.broadcast_to(fsc_prev[:1], (cfg.k,) + fsc_prev.shape[1:])
-        for h in (0, 1):
-            f_all = jnp.stack([p[0] for p in ft_pairs[h]])
-            t_all = jnp.stack([p[1] for p in ft_pairs[h]])
-            refs = _reconstruct_all(
-                f_all, t_all, jnp.asarray(fsc_prev), grid_size, cfg.pf, r_u,
-                not cfg.mode_2d, False, True, cfg.size,
-            )
-            self.state[h].refs = refs
+            fsc_prev = np.broadcast_to(fsc_prev[:1],
+                                       (cfg.k,) + fsc_prev.shape[1:])
+        self.state.refs = _reconstruct_all_h(
+            f2, t2, jnp.asarray(fsc_prev), grid_size, cfg.pf, r_u,
+            not cfg.mode_2d, False, True, cfg.size,
+        )
 
         # reference auto-recentring (reconstructRef, Optimiser.cpp:
         # 7382-7427): shift each class reference by minus the mean
@@ -1278,31 +1465,34 @@ class Optimiser:
         if cfg.ref_auto_recentre and self._ref_mask is None and (
             cfg.mode_2d or self.sym.name.startswith("C")
         ):
-            for h in (0, 1):
-                s = self.state[h]
-                eff_t = s.par.top_t - self.offset[h]
-                one_hot = (s.cls[None, :] == jnp.arange(cfg.k)[:, None])
-                cnt = jnp.maximum(jnp.sum(one_hot, axis=1), 1)
-                o_class = (one_hot.astype(jnp.float32) @ eff_t) / cnt[:, None]
-                s.refs = _recentre_refs(s.refs, o_class, cfg.mode_2d)
+            s = self.state
+            eff_t = s.par.top_t - self.offset          # (2, L, 2)
+            one_hot = ((s.cls[:, None, :] == jnp.arange(cfg.k)[None, :, None])
+                       .astype(jnp.float32) * self.valid_dev[:, None, :])
+            cnt = jnp.maximum(jnp.sum(one_hot, axis=2), 1.0)
+            o_class = jnp.einsum("hkl,hlc->hkc", one_hot, eff_t) / cnt[..., None]
+            s.refs = _recentre_refs_h(s.refs, o_class, cfg.mode_2d)
 
         # golden-standard FSC on the reconstructed references
         # (Model::compareTwoHemispheres, Model.cpp:307-851) + averaging
-        # of the halves below the 0.95-crossing shell — one jit call
+        # of the halves below the 0.95-crossing shell — the ONE place
+        # the two mesh halves meet
         n_shells = cfg.max_r
         use_true_fsc = (not cfg.mode_2d) and (cfg.core_fsc or cfg.mask_fsc)
         fsc_dev, ref_a_new, ref_b_new = _compare_refs(
-            self.state[0].refs, self.state[1].refs, n_shells
+            self.state.refs[0], self.state.refs[1], n_shells
         )
         fsc_all = np.asarray(fsc_dev)
         if cfg.gold_standard:
-            self.state[0].refs = ref_a_new
-            self.state[1].refs = ref_b_new
+            new_refs = jnp.stack([ref_a_new, ref_b_new])
         else:
             # no golden standard: one shared reference (Model::avgHemi)
-            avg = (self.state[0].refs + self.state[1].refs) / 2
-            self.state[0].refs = avg
-            self.state[1].refs = avg
+            avg = (self.state.refs[0] + self.state.refs[1]) / 2
+            new_refs = jnp.stack([avg, avg])
+        if self._sh_state is not None:
+            new_refs = jax.device_put(new_refs,
+                                      self._sh_state(new_refs.ndim - 1))
+        self.state.refs = new_refs
         if use_true_fsc:
             # core/masked randomized-phase-corrected FSC replaces the
             # plain curves for the state machine (Model.cpp:411-567)
@@ -1319,11 +1509,50 @@ class Optimiser:
                 ))
             for t in range(cfg.k):
                 self.key, kf = jax.random.split(self.key)
-                fsc_all[t] = true_fsc(self.state[0].refs[t],
-                                      self.state[1].refs[t], m, n_shells, kf)
+                fsc_all[t] = true_fsc(self.state.refs[0, t],
+                                      self.state.refs[1, t], m, n_shells, kf)
 
         self.model.set_fsc(fsc_all)
         self.model.update_res(cfg.thres_report_fsc)
+
+    # -- one full round --------------------------------------------------
+
+    def run_round(self, i_round: int) -> dict:
+        cfg = self.cfg
+        t0 = time.time()
+        rings = self._rings()
+        record = dict(round=i_round, r=int(self.model.r),
+                      search_type=int(self.model.search_type))
+
+        # expectation (skipE honored as in run, Optimiser.cpp:3630)
+        if i_round == 0 or not cfg.skip_e:
+            if self.model.search_type == SEARCH_TYPE_GLOBAL and cfg.g_search:
+                g = self.expectation_global(rings)
+                self.adopt_global(g)
+            record["n_phases"] = self.local_phases(rings)
+        else:
+            record["n_phases"] = [0, 0]
+
+        # translation-variance statistic over all particles: MEDIAN, as
+        # the reference's stat_MAS (refreshVariance, Optimiser.cpp:5740;
+        # Functions.cpp:254) — stable enough for the 2% stagnation test
+        s0 = np.asarray(self.state.par.s0)[self.valid]
+        s1 = np.asarray(self.state.par.s1)[self.valid]
+        self.model.set_t_vari(float(np.median(s0)), float(np.median(s1)))
+
+        # maximization (Optimiser::maximization, Optimiser.cpp:3405-3559;
+        # skipM pins FSC to 1 instead, run :3798-3801)
+        if not cfg.skip_m:
+            if i_round != 0 and self.model.search_type != SEARCH_TYPE_GLOBAL:
+                self.norm_correction()
+            self.refresh_sigma()
+            if (self.model.search_type == SEARCH_TYPE_GLOBAL
+                    and cfg.group_scl and i_round != 0):
+                self.correct_scale()
+            if not cfg.skip_r:
+                self._reconstruct_and_compare(record)
+        else:
+            self.model.set_fsc(np.ones((cfg.k, cfg.max_r), np.float32))
 
         # post-reconstruction housekeeping: class rebirth, reference
         # masking, image re-centring (run, Optimiser.cpp:3813-4014,7514)
@@ -1339,9 +1568,8 @@ class Optimiser:
         # Config.h:165; only outside global search, Optimiser.cpp:3804):
         # fold the rank-1 shift into the offsets, rebuild masked spectra
         if self.model.search_type != SEARCH_TYPE_GLOBAL:
-            for h in (0, 1):
-                self.re_centre_img(h)
-                self._refresh_masked(h)
+            self.re_centre_img()
+            self._refresh_masked()
 
         self.model.update_r(cfg.thres_cutoff_fsc)
         self.model.update_search_type()
@@ -1366,66 +1594,52 @@ class Optimiser:
         """Joint full-resolution reconstruction after the search stops
         (run, Optimiser.cpp:4078-4129: setMaxRU + reconstructRef at
         Nyquist with join-half Wiener).  Returns (K, ...) maps averaged
-        over hemispheres; per-hemisphere maps stay in self.state."""
+        over hemispheres; per-hemisphere maps stay in self.state.refs."""
         cfg = self.cfg
         saved_r = self.model.r
         self.model.r = cfg.max_r - 3
-        ft_pairs = []
-        for h in (0, 1):
-            pairs, r_u, grid_size = self.reconstruct_round(h)
-            ft_pairs.append(pairs)
+        f2, t2, r_u, grid_size = self.reconstruct_round()
         self.model.r = saved_r
 
         fsc_all = np.asarray(self.model.fsc, dtype=np.float32)
         if fsc_all.shape[0] < cfg.k:
-            fsc_all = np.broadcast_to(fsc_all[:1], (cfg.k,) + fsc_all.shape[1:])
-        per_h = []
-        for h in (0, 1):
-            f_stack = jnp.stack([p[0] for p in ft_pairs[h]])
-            t_stack = jnp.stack([p[1] for p in ft_pairs[h]])
-            refs = _reconstruct_all(
-                f_stack, t_stack, jnp.asarray(fsc_all), grid_size, cfg.pf,
-                r_u, not cfg.mode_2d, True, True, cfg.size,
-            )
-            self.state[h].refs = refs
-            per_h.append(refs)
-        return np.asarray((per_h[0] + per_h[1]) / 2)
+            fsc_all = np.broadcast_to(fsc_all[:1],
+                                      (cfg.k,) + fsc_all.shape[1:])
+        refs = _reconstruct_all_h(
+            f2, t2, jnp.asarray(fsc_all), grid_size, cfg.pf, r_u,
+            not cfg.mode_2d, True, True, cfg.size,
+        )
+        self.state.refs = refs
+        return np.asarray((refs[0] + refs[1]) / 2)
 
-    def save_subtract(self, mask: np.ndarray):
+    def save_subtract(self, mask: np.ndarray, chunk: int = 512) -> np.ndarray:
         """Signal subtraction (saveSubtract, Optimiser.cpp:8418-...):
         per particle, subtract ctf * proj(masked reference) at the
-        rank-1 pose from the original image.  Returns (n, size, size)
-        float32 real-space images in original particle order."""
+        rank-1 pose from the original image — batched (one device
+        program per chunk of images).  Returns (n, size, size) float32
+        real-space images in original particle order."""
         cfg = self.cfg
-        from thunder_tpu.ops.fourier import ifft2_centered
-        from thunder_tpu.ops.projector import project_full_2d, project_full_3d
-
-        prep = (prepare_projectee_2d if cfg.mode_2d else prepare_projectee_3d)
-        project_full = project_full_2d if cfg.mode_2d else project_full_3d
-        n_total = sum(len(d.index) for d in self.data)
-        out = np.zeros((n_total, cfg.size, cfg.size), np.float32)
+        out = np.zeros((self.n_total, cfg.size, cfg.size), np.float32)
         w = jnp.asarray(mask)
+        masked_refs = self.state.refs * w[None, None]
+        s = self.state
         for h in (0, 1):
-            d = self.data[h]
-            s = self.state[h]
-            masked_refs = s.refs * w[None]
-            projs = [prep(masked_refs[t], cfg.pf) for t in range(cfg.k)]
-            if cfg.mode_2d:
-                rot = rotate2d_from_unit(s.par.top_r[..., :2])
-            else:
-                rot = rotate3d(s.par.top_r)
-            eff_t = s.par.top_t - self.offset[h]
-            from thunder_tpu.physics.ctf import ctf_image
-
-            ctf_full = ctf_image(d.ctf_params, cfg.size, cfg.pixel_size)
-            for i in range(len(d.index)):
-                t_cls = int(s.cls[i])
-                pri = project_full(projs[t_cls], rot[i])
-                from thunder_tpu.ops.fourier import translate_ft
-
-                pri = translate_ft(pri, eff_t[i, 0], eff_t[i, 1])
-                diff = d.ft_ori[i] - ctf_full[i] * pri
-                out[d.index[i]] = np.asarray(ifft2_centered(diff))
+            proj_stack = _prepare_projectee_stack(
+                masked_refs[h], cfg.size, cfg.pf, cfg.mode_2d, 0)
+            eff_t = s.par.top_t[h] - self.offset[h]
+            idx, val = self.index[h], self.valid[h]
+            for lo in range(0, self.n_img, chunk):
+                sl = slice(lo, min(self.n_img, lo + chunk))
+                diff = _subtract_batch(
+                    self.data.ft_ori[h, sl],
+                    CtfParams(*[f[h, sl] for f in self.data.ctf_params]),
+                    proj_stack, s.cls[h, sl], s.par.top_r[h, sl],
+                    eff_t[sl], cfg.size, cfg.pf, cfg.mode_2d,
+                    float(cfg.pixel_size),
+                )
+                sub = np.asarray(diff, dtype=np.float32)
+                ok = val[sl]
+                out[idx[sl][ok]] = sub[ok]
         return out
 
     def save_checkpoint(self, path: str):
@@ -1435,15 +1649,14 @@ class Optimiser:
         "orbax-style native checkpoint" item)."""
         import dataclasses
 
-        blobs = {}
-        for h in (0, 1):
-            s = self.state[h]
-            blobs[f"refs_{h}"] = np.asarray(s.refs)
-            blobs[f"sigma_{h}"] = np.asarray(s.sigma)
-            blobs[f"cls_{h}"] = np.asarray(s.cls)
-            blobs[f"offset_{h}"] = np.asarray(self.offset[h])
-            for fname, arr in zip(s.par._fields, s.par):
-                blobs[f"par_{h}_{fname}"] = np.asarray(arr)
+        s = self.state
+        blobs = dict(
+            refs=np.asarray(s.refs), sigma=np.asarray(s.sigma),
+            cls=np.asarray(s.cls), offset=np.asarray(self.offset),
+            index=self.index, valid=self.valid,
+        )
+        for fname, arr in zip(s.par._fields, s.par):
+            blobs[f"par_{fname}"] = np.asarray(arr)
         model = {
             f.name: getattr(self.model, f.name)
             for f in dataclasses.fields(self.model)
@@ -1461,35 +1674,41 @@ class Optimiser:
         import json as _json
 
         z = np.load(path, allow_pickle=False)
-        for h in (0, 1):
-            s = self.state[h]
-            s.refs = jnp.asarray(z[f"refs_{h}"])
-            s.sigma = jnp.asarray(z[f"sigma_{h}"])
-            s.cls = jnp.asarray(z[f"cls_{h}"])
-            self.offset[h] = jnp.asarray(z[f"offset_{h}"])
-            fields = {f: jnp.asarray(z[f"par_{h}_{f}"])
-                      for f in s.par._fields}
-            s.par = pt.ParticleState(**fields)
+        s = self.state
+        s.refs = jnp.asarray(z["refs"])
+        s.sigma = jnp.asarray(z["sigma"])
+        s.cls = jnp.asarray(z["cls"])
+        self.offset = jnp.asarray(z["offset"])
+        self.index = z["index"]
+        self.valid = z["valid"]
+        self.n_img = self.index.shape[1]
+        self.valid_dev = jnp.asarray(self.valid.astype(np.float32))
+        s.par = pt.ParticleState(
+            **{f: jnp.asarray(z[f"par_{f}"]) for f in s.par._fields}
+        )
         model = _json.loads(bytes(z["model_json"]).decode())
         for f in dataclasses.fields(self.model):
             if f.name in model:
                 setattr(self.model, f.name, model[f.name])
         self.model.fsc = z["fsc"]
         self.key = jnp.asarray(z["key"])
+        if self.mesh is not None:
+            self._apply_shardings()
 
     # -- exports ---------------------------------------------------------
 
     def class_assignments(self) -> np.ndarray:
         """Global class assignment array over all particles."""
-        n = sum(len(d.index) for d in self.data)
-        out = np.zeros(n, dtype=np.int64)
+        out = np.zeros(self.n_total, dtype=np.int64)
+        cls = np.asarray(self.state.cls)
         for h in (0, 1):
-            out[self.data[h].index] = np.asarray(self.state[h].cls)
+            v = self.valid[h]
+            out[self.index[h][v]] = cls[h][v]
         return out
 
     def class_averages(self) -> np.ndarray:
         """Mean of hemisphere references per class (2D stacks / 3D maps)."""
-        return np.asarray((self.state[0].refs + self.state[1].refs) / 2)
+        return np.asarray((self.state.refs[0] + self.state.refs[1]) / 2)
 
     def export_thu(self, thu):
         """Write current particle-filter compression back into a ThuTable
@@ -1497,19 +1716,21 @@ class Optimiser:
         import copy
 
         out = copy.deepcopy(thu)
+        s = self.state
         for h in (0, 1):
-            s = self.state[h]
-            idx = self.data[h].index
-            out.class_id[idx] = np.asarray(s.cls)
-            out.quat[idx] = np.asarray(s.par.top_r)
-            out.k1[idx] = np.asarray(s.par.k1)
-            out.k2[idx] = np.asarray(s.par.k2)
-            out.k3[idx] = np.asarray(s.par.k3)
-            out.trans[idx] = np.asarray(s.par.top_t)
+            v = self.valid[h]
+            idx = self.index[h][v]
+            get = lambda a: np.asarray(a[h])[v]
+            out.class_id[idx] = get(s.cls)
+            out.quat[idx] = get(s.par.top_r)
+            out.k1[idx] = get(s.par.k1)
+            out.k2[idx] = get(s.par.k2)
+            out.k3[idx] = get(s.par.k3)
+            out.trans[idx] = get(s.par.top_t)
             out.std_trans[idx] = np.stack(
-                [np.asarray(s.par.s0), np.asarray(s.par.s1)], axis=1
+                [get(s.par.s0), get(s.par.s1)], axis=1
             )
-            out.defocus_factor[idx] = np.asarray(s.par.top_d)
-            out.std_defocus_factor[idx] = np.asarray(s.par.s_d)
-            out.score[idx] = np.asarray(s.par.score)
+            out.defocus_factor[idx] = get(s.par.top_d)
+            out.std_defocus_factor[idx] = get(s.par.s_d)
+            out.score[idx] = get(s.par.score)
         return out

@@ -44,6 +44,6 @@ def default_mesh(hemi: int = 2):
     from jax.sharding import Mesh
 
     devices = np.asarray(jax.devices())
-    if len(devices) >= 2 * hemi and len(devices) % hemi == 0:
+    if len(devices) >= hemi and len(devices) % hemi == 0:
         return Mesh(devices.reshape(hemi, -1), axis_names=("hemi", "data"))
     return Mesh(devices, axis_names=("data",))
