@@ -241,6 +241,69 @@ def ri_split(proj_stack: jax.Array, pack_bf16: bool = True) -> jax.Array:
     return lo | (hi << 16)
 
 
+def oct_pack(packed: jax.Array, mode_2d: bool) -> jax.Array:
+    """uint32 ri-word spectra (K, big, ...) -> corner-row tables.
+
+    TPU gather throughput is per-ROW, nearly flat in row width up to 8
+    words (measured: 8-wide rows cost ~1.2x a 1-wide take but deliver
+    8 taps) — so store, for every voxel, ALL 2x2(x2) interpolation
+    corners as one contiguous row.  One take then serves a whole
+    trilinear/bilinear stencil: ~10x faster than 8 scalar takes at
+    production shapes.  This is the TPU analogue of the reference's
+    CUDA texture fetches (gpu/src/Kernel.cu projection kernels), which
+    get the 8-tap stencil from texture hardware.
+
+    Returns (K, big, ..., 8) uint32 for 3D (corner order dz,dy,dx
+    binary) or (K, big, big, 4) for 2D (dy,dx binary).  Memory: 8x/4x
+    the packed spectrum — the caller gates on table size.
+    """
+    k = packed.shape[0]
+    big = packed.shape[-1]
+    if mode_2d:
+        pad = jnp.pad(packed, ((0, 0), (0, 1), (0, 1)))
+        rows = jnp.stack(
+            [pad[:, dy:dy + big, dx:dx + big]
+             for dy in (0, 1) for dx in (0, 1)], axis=-1)
+    else:
+        pad = jnp.pad(packed, ((0, 0), (0, 1), (0, 1), (0, 1)))
+        rows = jnp.stack(
+            [pad[:, dz:dz + big, dy:dy + big, dx:dx + big]
+             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)], axis=-1)
+    return rows
+
+
+def _gather_oct_trilinear(rows_flat: jax.Array, vi, ix, iy, iz, wx, wy, wz,
+                          big: int) -> jax.Array:
+    """One row-take of all 8 packed corners + trilinear combine.
+    rows_flat: (n_vox, 8) uint32 (see oct_pack); vi = volume offset."""
+    ix = jnp.clip(ix, 0, big - 1)
+    iy = jnp.clip(iy, 0, big - 1)
+    iz = jnp.clip(iz, 0, big - 1)
+    lin = vi + (iz * big + iy) * big + ix
+    taps = jnp.take(rows_flat, lin, axis=0)              # (..., 8)
+    re, im = _unpack_ri(taps)
+    wzs = jnp.stack([1 - wz, wz], axis=-1)               # (..., 2)
+    wys = jnp.stack([1 - wy, wy], axis=-1)
+    wxs = jnp.stack([1 - wx, wx], axis=-1)
+    w = (wzs[..., :, None, None] * wys[..., None, :, None]
+         * wxs[..., None, None, :]).reshape(wx.shape + (8,))
+    return jax.lax.complex(jnp.sum(re * w, axis=-1), jnp.sum(im * w, axis=-1))
+
+
+def _gather_quad_bilinear(rows_flat: jax.Array, vi, ix, iy, wx, wy,
+                          big: int) -> jax.Array:
+    """One row-take of all 4 packed corners + bilinear combine."""
+    ix = jnp.clip(ix, 0, big - 1)
+    iy = jnp.clip(iy, 0, big - 1)
+    lin = vi + iy * big + ix
+    taps = jnp.take(rows_flat, lin, axis=0)              # (..., 4)
+    re, im = _unpack_ri(taps)
+    wys = jnp.stack([1 - wy, wy], axis=-1)
+    wxs = jnp.stack([1 - wx, wx], axis=-1)
+    w = (wys[..., :, None] * wxs[..., None, :]).reshape(wx.shape + (4,))
+    return jax.lax.complex(jnp.sum(re * w, axis=-1), jnp.sum(im * w, axis=-1))
+
+
 def _unpack_ri(word: jax.Array) -> tuple[jax.Array, jax.Array]:
     """uint32 word -> (re, im) float32 (inverse of ri_split packing)."""
     re = jax.lax.bitcast_convert_type(
@@ -306,6 +369,19 @@ def project_classed(proj_stack_ri: jax.Array, cls: jax.Array, rot: jax.Array,
     y = rot[..., 1, 0:1] * fx + rot[..., 1, 1:2] * fy
     k_cls = proj_stack_ri.shape[0]
     packed = proj_stack_ri.dtype == jnp.uint32
+    if packed and proj_stack_ri.ndim == (4 if mode_2d else 5):
+        # corner-row table (see oct_pack): one take per stencil
+        big = proj_stack_ri.shape[-2]
+        nd = proj_stack_ri.ndim - 2
+        w_row = proj_stack_ri.shape[-1]
+        rows = proj_stack_ri.reshape(-1, w_row)
+        vi = (cls * big**nd).reshape(cls.shape + (1,) * (x.ndim - 1))
+        ix, iy, wx, wy = _corners(x, y, big)
+        if mode_2d:
+            return _gather_quad_bilinear(rows, vi, ix, iy, wx, wy, big)
+        z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
+        iz, _, wz, _ = _corners(z, z, big)
+        return _gather_oct_trilinear(rows, vi, ix, iy, iz, wx, wy, wz, big)
     if packed:
         big = proj_stack_ri.shape[-1]
         nd = proj_stack_ri.ndim - 1
@@ -337,6 +413,16 @@ def project_ri(proj_ri: jax.Array, rot: jax.Array, rings, pf: int,
     fy = (rings.i_row * pf).astype(jnp.float32)
     x = rot[..., 0, 0:1] * fx + rot[..., 0, 1:2] * fy
     y = rot[..., 1, 0:1] * fx + rot[..., 1, 1:2] * fy
+    if proj_ri.dtype == jnp.uint32 and proj_ri.ndim == (3 if mode_2d else 4):
+        # corner-row table for one class (see oct_pack)
+        big = proj_ri.shape[-2]
+        rows = proj_ri.reshape(-1, proj_ri.shape[-1])
+        ix, iy, wx, wy = _corners(x, y, big)
+        if mode_2d:
+            return _gather_quad_bilinear(rows, 0, ix, iy, wx, wy, big)
+        z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
+        iz, _, wz, _ = _corners(z, z, big)
+        return _gather_oct_trilinear(rows, 0, ix, iy, iz, wx, wy, wz, big)
     if proj_ri.dtype == jnp.uint32:
         big = proj_ri.shape[-1]
         flat = proj_ri.reshape(-1)

@@ -123,12 +123,18 @@ def _proj_crop_size(size: int, pf: int, r_u: int) -> int:
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "crop"))
 def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
                              crop: int = 0):
-    """(K, size, ...) real-space refs -> (K, 2, crop, ...) ri-split
-    padded corrected spectra (Projector::setProjectee per class,
-    Model::refreshProj).  Real/imag split: float gathers are faster
-    than complex gathers on TPU; ``crop`` (0 = full) keeps only the
-    centered region reachable at the current search radius."""
-    from thunder_tpu.ops.projector import ri_split
+    """(K, size, ...) real-space refs -> gather-optimised padded
+    corrected spectra (Projector::setProjectee per class,
+    Model::refreshProj).  ``crop`` (0 = full) keeps only the centered
+    region reachable at the current search radius.
+
+    Storage tiers (fastest first, gated by table size):
+    - corner-row tables (oct_pack): all 2x2(x2) stencil corners as one
+      gather row — one take per interpolation, ~10x faster; costs
+      8x/4x the spectrum bytes, used while the table stays < ~1.5 GB.
+    - bf16-packed ri words: 1 take per corner.
+    - float32 ri split: full precision fallback for huge stacks."""
+    from thunder_tpu.ops.projector import oct_pack, ri_split
 
     prep = prepare_projectee_2d if mode_2d else prepare_projectee_3d
     stack = jnp.stack([prep(refs[t], pf).ft for t in range(refs.shape[0])])
@@ -139,10 +145,12 @@ def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
         sl = (slice(None),) + tuple(
             slice(c - cc, c - cc + crop) for _ in range(nd))
         stack = stack[sl]
-    # bf16-packed storage needs int32-addressable flat indices
     n_elem = 1
     for d in stack.shape:
         n_elem *= d
+    n_corners = 4 if mode_2d else 8
+    if n_elem * n_corners * 4 <= 1536 * 2**20:
+        return oct_pack(ri_split(stack, pack_bf16=True), mode_2d)
     return ri_split(stack, pack_bf16=n_elem < 2**31)
 
 
