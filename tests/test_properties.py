@@ -100,7 +100,7 @@ def test_sharded_insertion_matches_single_device():
     args = (ft_ori, cp, rings.mask, rings.i_col, rings.i_row, quats,
             trans, d_draw, w_l, sym_mats, max_rad)
     kw = dict(size=size, pf=pf, mode_2d=False, n_sym=1, grid_size=size,
-              pixel_size=1.0, use_d=False)
+              pixel_size=1.0, use_d=False, r_u=r_u)
 
     f1, t1 = _insert_all_h(*args, **kw)
 

@@ -825,16 +825,20 @@ def _draw_poses_h(keys, par, n_draw: int):
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
-                                   "grid_size", "pixel_size", "use_d"))
+                                   "grid_size", "pixel_size", "use_d",
+                                   "r_u"))
 def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
                   d_draw, w_l_all, sym_mats, max_radius_pad, size: int,
                   pf: int, mode_2d: bool, n_sym: int, grid_size: int,
-                  pixel_size: float, use_d: bool):
+                  pixel_size: float, use_d: bool, r_u: int):
     """Both hemispheres' per-class insertions in one program; the CTF is
-    evaluated inside (per-draw defocus-scaled when use_d)."""
+    evaluated inside (per-draw defocus-scaled when use_d).
+
+    3D takes the scatter-free shear-sweep path (insert_sweep_3d) over
+    dense full-plane slices; 2D keeps the packed scatter (small grids)."""
     c = size // 2
 
-    def one(ft, cp, q, tr, dd, wl):
+    def one_2d(ft, cp, q, tr, dd, wl):
         dat = ft[..., c + i_row, c + i_col] * mask
         if use_d:
             ctf = ctf_packed_scaled(cp, i_col, i_row, size, pixel_size, dd)
@@ -844,6 +848,48 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
                                    sym_mats, max_radius_pad, size, pf,
                                    mode_2d, n_sym, grid_size)
 
+    def one_3d(ft, cp, q, tr, dd, wl):
+        from thunder_tpu.ops.insert import insert_sweep_3d
+
+        nk = 2 * r_u - 1
+        rr = r_u - 1
+        kk = jnp.arange(nk, dtype=jnp.int32) - rr
+        ky, kx = jnp.meshgrid(kk, kk, indexing="ij")
+        vc, vr = kx.reshape(-1), ky.reshape(-1)
+        q2 = (kx * kx + ky * ky).astype(jnp.float32)
+        # scatter-path parity: rings mask (shell < r_u) AND the inserter's
+        # padded-radius cut |f| < r_u - 1 (Reconstructor.cpp's
+        # QUAD < (maxRadius*pf)^2 check)
+        mask_d = (q2 < (r_u - 1) * (r_u - 1)).astype(jnp.float32)
+        # DC doubled: the half-space+hermitianize path counts it twice
+        mask_d = mask_d * jnp.where(q2 == 0, 2.0, 1.0)
+
+        n_img, n_draw = q.shape[0], q.shape[1]
+        dat = jax.lax.dynamic_slice(
+            ft, (0, c - rr, c - rr), (ft.shape[0], nk, nk))     # (L,nk,nk)
+        tra = translate_phases_view(vc, vr, size, tr)           # (L,D,nk2)
+        if use_d:
+            ctf = ctf_packed_scaled(cp, vc, vr, size, pixel_size, dd)
+        else:
+            ctf = ctf_packed(cp, vc, vr, size, pixel_size)[:, None, :]
+        vals = (dat.reshape(n_img, 1, -1) * jnp.conj(tra)
+                * (ctf * mask_d.reshape(-1)))                    # (L,D,nk2)
+        ctf2w = jnp.broadcast_to(ctf * ctf * mask_d.reshape(-1), vals.shape)
+        rot = rotate3d(q)
+        big = grid_size * pf
+        w_cls = jnp.repeat(wl, n_draw, axis=1)                   # (K, L*D)
+        f, t = insert_sweep_3d(
+            vals.reshape(-1, nk, nk), ctf2w.reshape(-1, nk, nk),
+            rot.reshape(-1, 3, 3), w_cls, big, pf,
+        )
+        if n_sym > 1:
+            f = jax.vmap(lambda g: symmetrize_ft(g, sym_mats,
+                                                 max_radius_pad))(f)
+            t = jnp.real(jax.vmap(lambda g: symmetrize_ft(
+                g.astype(jnp.complex64), sym_mats, max_radius_pad))(t))
+        return f, t
+
+    one = one_2d if mode_2d else one_3d
     return jax.vmap(one)(ft_ori, ctf_params, quats, trans, d_draw, w_l_all)
 
 
@@ -861,6 +907,11 @@ def _reconstruct_all_h(f2, t2, fsc_all, grid_size: int, pf: int,
                                       max_radius, map_wiener, join_half,
                                       grid_corr, out_size)
     )(f2, t2)
+
+
+@jax.jit
+def _apply_mask_jit(refs, w):
+    return refs * w[None, None]
 
 
 @partial(jax.jit, static_argnames=("mode_2d",))
@@ -1076,6 +1127,8 @@ class Optimiser:
         self.valid_dev = jnp.asarray(self.valid.astype(np.float32))
         self.round_records: list[dict] = []
         self._ref_mask = None
+        self._ref_mask_dev = None
+        self._soft_mask_cache = None
         if cfg.perform_mask and cfg.mask_path:
             from thunder_tpu.io.mrc import read_mrc
 
@@ -1269,17 +1322,28 @@ class Optimiser:
         default flags reduce it to reference masking with zero
         background, OPTIMISER_SOLVENT_FLATTEN_MASK_ZERO)."""
         cfg = self.cfg
-        from thunder_tpu.constants import EDGE_WIDTH_RL
-        from thunder_tpu.physics.mask import soft_mask_weight
-
-        nd = 2 if cfg.mode_2d else 3
         if apply_mask and self._ref_mask is not None:
-            w = jnp.asarray(self._ref_mask)
+            if self._ref_mask_dev is None:
+                self._ref_mask_dev = jnp.asarray(self._ref_mask)
+            w = self._ref_mask_dev
         else:
-            w = jnp.asarray(soft_mask_weight(
-                cfg.size, nd, cfg.mask_radius / cfg.pixel_size, EDGE_WIDTH_RL
-            ))
-        self.state.refs = self.state.refs * w[None, None]
+            w = self._soft_mask_dev()
+        self.state.refs = _apply_mask_jit(self.state.refs, w)
+
+    def _soft_mask_dev(self):
+        """Device-cached soft spherical mask (built once, not per round
+        — the host numpy rebuild + 8 MB upload was a measured 0.3 s/round
+        at 128px)."""
+        if self._soft_mask_cache is None:
+            from thunder_tpu.constants import EDGE_WIDTH_RL
+            from thunder_tpu.physics.mask import soft_mask_weight
+
+            cfg = self.cfg
+            nd = 2 if cfg.mode_2d else 3
+            self._soft_mask_cache = jnp.asarray(soft_mask_weight(
+                cfg.size, nd, cfg.mask_radius / cfg.pixel_size,
+                EDGE_WIDTH_RL))
+        return self._soft_mask_cache
 
     def _refresh_masked(self):
         """Rebuild the soft-masked spectra from offset-translated
@@ -1441,7 +1505,7 @@ class Optimiser:
             rings.i_col, rings.i_row, quats, trans, d_draw, w_l_all,
             self.sym.matrices, jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
             cfg.size, cfg.pf, cfg.mode_2d, self.sym.order, grid_size,
-            float(cfg.pixel_size), use_d,
+            float(cfg.pixel_size), use_d, r_u,
         )
         return f2, t2, r_u, grid_size
 
