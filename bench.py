@@ -55,6 +55,9 @@ def make_dataset(size, n, rng):
 
 
 def run(size=128, n=256):
+    """One timed 3D-refine E-M round at the DEMO-GRADE search grid
+    (mS=10000, mLR=125, mLT=9, mReco=100 — the reference's
+    script/demo_3D.json workload), not a lightened grid."""
     import jax
 
     _enable_compile_cache()
@@ -69,7 +72,7 @@ def run(size=128, n=256):
         mode="3D", k=1, size=size, pixel_size=1.32,
         mask_radius=size * 1.32 / 2 * 0.9,
         trans_s=3.0, init_res=12.0, global_search_res=8.0, sym="C1",
-        m_s=1024, m_l_r=32, m_l_t=16, m_reco=16,
+        m_s=10000, m_l_r=125, m_l_t=9, m_reco=100,
         ignore_res=size * 1.32, trans_search_factor=0.1,
     )
     ctf = ctf_params(
@@ -82,9 +85,10 @@ def run(size=128, n=256):
 
     # warm-up round compiles everything (persistent cache makes repeat
     # invocations start hot)
-    print("bench: warm-up round (compiling)...", file=sys.stderr, flush=True)
+    print(f"bench {size}px: warm-up round (compiling)...",
+          file=sys.stderr, flush=True)
     opt.run_round(0)
-    print("bench: timing round...", file=sys.stderr, flush=True)
+    print(f"bench {size}px: timing round...", file=sys.stderr, flush=True)
     t0 = time.time()
     opt.run_round(1)
     dt = time.time() - t0
@@ -106,11 +110,25 @@ def main():
         except Exception:
             size, n = 64, 128
             ips, dt = run(size, n)
+    extra = {}
+    if size == 128:
+        # the BASELINE.json north-star box, same demo-grade grid
+        try:
+            ips256, _ = run(256, n)
+            extra["256px"] = {
+                "value": round(ips256, 3),
+                "vs_baseline": round(ips256 / ASSUMED_V100_IMG_PER_SEC, 3),
+            }
+        except Exception as e:
+            extra["256px"] = {"error": type(e).__name__}
     print(json.dumps({
-        "metric": f"particle-images/sec/chip, full 3D-refine E-M round, {size}px box",
+        "metric": (f"particle-images/sec/chip, full 3D-refine E-M round, "
+                   f"{size}px box, demo-grade grid "
+                   f"(mS=10000 mLR=125 mLT=9 mReco=100)"),
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / ASSUMED_V100_IMG_PER_SEC, 3),
+        **extra,
     }))
 
 
