@@ -82,6 +82,10 @@ class ThunderConfig:
     # --- framework extras (not in the reference config) ---
     n_threads: int = 1
     seed: int = 20260816
+    # shard the padded reconstruction grids (F/T/W/C) over the mesh's
+    # data axis once a grid exceeds this many MB (big-box path; the
+    # reference held whole volumes per rank and broke at ~1000px boxes)
+    vol_shard_min_mb: int = 512
     save_refs_each_iter: bool = True
     save_thu_each_iter: bool = True
 

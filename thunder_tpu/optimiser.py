@@ -1509,6 +1509,40 @@ class Optimiser:
         )
         return f2, t2, r_u, grid_size
 
+    def _reconstruct_refs(self, f2, t2, fsc_all, grid_size: int, r_u: int,
+                          map_wiener: bool, join_half: bool,
+                          grid_corr: bool):
+        """Route reconstruction to the volume-sharded path when the
+        padded grids are big and a mesh is available (SURVEY §5's
+        context-parallel axis; the reference instead held whole volumes
+        per rank, README.md:58-59)."""
+        cfg = self.cfg
+        big = grid_size * cfg.pf
+        grid_mb = big ** 3 * 8 // 2 ** 20
+        mesh = self.mesh
+        if (mesh is not None and not cfg.mode_2d
+                and "hemi" in mesh.axis_names and "data" in mesh.axis_names
+                and mesh.shape["hemi"] == 2
+                and mesh.shape["data"] > 1
+                and mesh.shape["data"] % 2 == 0
+                and big % mesh.shape["data"] == 0
+                and grid_mb >= cfg.vol_shard_min_mb):
+            from thunder_tpu.recon.sharded import (
+                reconstruct_all_sharded,
+                sharded_grid_specs,
+            )
+
+            spec = sharded_grid_specs(mesh)
+            f2 = jax.device_put(f2, spec)
+            t2 = jax.device_put(t2, spec)
+            with mesh:
+                return reconstruct_all_sharded(
+                    mesh, f2, t2, jnp.asarray(fsc_all), grid_size, cfg.pf,
+                    r_u, map_wiener, join_half, grid_corr, cfg.size)
+        return _reconstruct_all_h(
+            f2, t2, jnp.asarray(fsc_all), grid_size, cfg.pf, r_u,
+            map_wiener, join_half, grid_corr, cfg.size)
+
     def _reconstruct_and_compare(self, record: dict):
         """Reconstruction + cross-hemisphere FSC + conditional averaging
         (reconstructRef + Model::compareTwoHemispheres)."""
@@ -1524,9 +1558,9 @@ class Optimiser:
         if fsc_prev.shape[0] < cfg.k:
             fsc_prev = np.broadcast_to(fsc_prev[:1],
                                        (cfg.k,) + fsc_prev.shape[1:])
-        self.state.refs = _reconstruct_all_h(
-            f2, t2, jnp.asarray(fsc_prev), grid_size, cfg.pf, r_u,
-            not cfg.mode_2d, False, True, cfg.size,
+        self.state.refs = self._reconstruct_refs(
+            f2, t2, fsc_prev, grid_size, r_u,
+            not cfg.mode_2d, False, True,
         )
 
         # reference auto-recentring (reconstructRef, Optimiser.cpp:
@@ -1677,9 +1711,9 @@ class Optimiser:
         if fsc_all.shape[0] < cfg.k:
             fsc_all = np.broadcast_to(fsc_all[:1],
                                       (cfg.k,) + fsc_all.shape[1:])
-        refs = _reconstruct_all_h(
-            f2, t2, jnp.asarray(fsc_all), grid_size, cfg.pf, r_u,
-            not cfg.mode_2d, True, True, cfg.size,
+        refs = self._reconstruct_refs(
+            f2, t2, fsc_all, grid_size, r_u,
+            not cfg.mode_2d, True, True,
         )
         self.state.refs = refs
         return np.asarray((refs[0] + refs[1]) / 2)
