@@ -156,7 +156,7 @@ _Z_KERNEL_WIDTH = 2.0
 
 def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
                     w_cls: jax.Array, big: int, pf: int,
-                    chunk: int = 64) -> tuple[jax.Array, jax.Array]:
+                    chunk: int = 128) -> tuple[jax.Array, jax.Array]:
     """Scatter-free 3D Fourier insertion: dense shear sweeps.
 
     TPU scatter-add runs ~0.1 Gelem/s regardless of row shape, so the

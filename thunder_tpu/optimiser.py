@@ -116,7 +116,11 @@ def _proj_crop_size(size: int, pf: int, r_u: int) -> int:
     central 2*(pf*r_u + 2) of the pf-padded cube is ever gathered.
     Shrinking the gather source keeps its working set cache-resident
     (the TPU gather's dominant cost; measured in scripts/micro_gather.py)
-    — the spectral analogue of the cropped reconstructor grid."""
+    — the spectral analogue of the cropped reconstructor grid.
+
+    Kept EXACT (not bucketed): the row-gather rate cliffs once the
+    table outgrows the on-chip cache, so a few extra crop planes cost
+    more than a separate per-radius table build."""
     return min(size * pf, 2 * (pf * r_u + 2))
 
 
@@ -263,6 +267,7 @@ def _compare_refs(ref_a, ref_b, n_shells: int):
 
     ref_a/ref_b: (K, ...) real-space FFT-layout.  Returns
     (fsc (K, n_shells), averaged ref_a, averaged ref_b).
+
     """
     nd = ref_a.ndim - 1
     axes = tuple(range(1, ref_a.ndim))
@@ -525,9 +530,17 @@ def _phase_loop_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col,
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r", "n_group"))
 def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
-                top_r, top_t, group_id, sigma_prev, r_u,
+                top_r, top_t, dat_hi, mask_hi, i_sig_hi,
+                group_id, sigma_prev, r_u,
                 size: int, pf: int, mode_2d: bool, max_r: int, n_group: int):
-    """Rank-1 residual noise spectra (allReduceSigma, group mode)."""
+    """Rank-1 residual noise spectra over ALL shells (allReduceSigma,
+    group mode; OPTIMISER_SIGMA_WHOLE_FREQUENCY default, Config.h:196).
+
+    Shells below the reconstruction radius subtract the projected
+    reference; shells above it use the plain data power — the
+    references are Wiener-reconstructed only to that radius, so the
+    projection there is zero by construction (and the projectee table
+    stays at the search crop instead of the full padded box)."""
     rings = _RingsView(i_col, i_row, size)
     if mode_2d:
         rot = rotate2d_from_unit(top_r[..., :2])
@@ -538,13 +551,20 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
     tra = translate_phases_view(i_col, i_row, size, top_t[:, None])[:, 0]
     resid = dat - ctf * tra * pri
     power = jnp.abs(resid) ** 2 * mask
+    power_hi = jnp.abs(dat_hi) ** 2 * mask_hi
 
     shell = jnp.minimum(i_sig, max_r)
+    shell_hi = jnp.minimum(i_sig_hi, max_r)
     sig_sum = jnp.zeros((n_group, max_r + 1), jnp.float32)
     cnt_sum = jnp.zeros((n_group, max_r + 1), jnp.float32)
     sig_sum = sig_sum.at[group_id[:, None], shell[None, :]].add(power / 2)
     cnt_sum = cnt_sum.at[group_id[:, None], shell[None, :]].add(
         jnp.broadcast_to(mask, power.shape)
+    )
+    sig_sum = sig_sum.at[group_id[:, None], shell_hi[None, :]].add(
+        power_hi / 2)
+    cnt_sum = cnt_sum.at[group_id[:, None], shell_hi[None, :]].add(
+        jnp.broadcast_to(mask_hi, power_hi.shape)
     )
     sigma = sig_sum[:, :max_r] / jnp.maximum(cnt_sum[:, :max_r], 1.0)
     valid = jnp.arange(max_r) < r_u
@@ -709,12 +729,28 @@ def _pack_inputs_h(ft_masked, ctf_params, sigma, group_id, i_col, i_row,
     )(ft_masked, ctf_params, sigma, group_id)
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode_2d"))
+
+def _hemi_map(one, seq: bool):
+    """vmap over the hemisphere axis (SPMD lockstep, shardable on a
+    ("hemi", "data") mesh) or lax.map (strictly sequential) — on a
+    single chip the sequential form halves the gather working set (one
+    hemisphere's projection table at a time stays under the ~96 MB
+    row-gather cache cliff; measured in scripts/micro_gather*) and lets
+    each hemisphere's adaptive phase loop run its own iteration count.
+    """
+    if seq:
+        return lambda *args: jax.lax.map(lambda t: one(*t), args)
+    return jax.vmap(one)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "seq"))
 def _global_search_h(proj_stack, rot_blocks, i_col, i_row, dat_w, sctf2,
-                     a_term, tra, size: int, pf: int, mode_2d: bool):
-    return jax.vmap(
+                     a_term, tra, size: int, pf: int, mode_2d: bool,
+                     seq: bool = False):
+    return _hemi_map(
         lambda ps, rb, dw, s2, at, tr: _global_search(
-            ps, rb, i_col, i_row, dw, s2, at, tr, size, pf, mode_2d)
+            ps, rb, i_col, i_row, dw, s2, at, tr, size, pf, mode_2d),
+        seq,
     )(proj_stack, rot_blocks, dat_w, sctf2, a_term, tra)
 
 
@@ -728,25 +764,28 @@ def _adopt_global_h(keys, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d,
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
-                                   "trans_s", "min_phase", "max_phase"))
+                                   "trans_s", "min_phase", "max_phase",
+                                   "seq"))
 def _phase_loop_h(keys, par, cls, proj_stack, i_col, i_row, dat_w, sctf2,
                   a_term, size: int, pf: int, mode: int, pf_small: float,
-                  trans_s: float, min_phase: int, max_phase: int):
-    return jax.vmap(
+                  trans_s: float, min_phase: int, max_phase: int,
+                  seq: bool = False):
+    return _hemi_map(
         lambda k, p, c, ps, dw, s2, at: _phase_loop(
             k, p, c, ps, i_col, i_row, dw, s2, at, size, pf, mode,
-            pf_small, trans_s, min_phase, max_phase)
+            pf_small, trans_s, min_phase, max_phase),
+        seq,
     )(keys, par, cls, proj_stack, dat_w, sctf2, a_term)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
                                    "trans_s", "pixel_size", "min_phase",
-                                   "max_phase"))
+                                   "max_phase", "seq"))
 def _phase_loop_ctf_h(keys, par, cls, proj_stack, i_col, i_row, i_sig,
                       mask, ft_masked, sigma, group_id, ctf_base,
                       size: int, pf: int, mode: int, pf_small: float,
                       trans_s: float, pixel_size: float, min_phase: int,
-                      max_phase: int):
+                      max_phase: int, seq: bool = False):
     """CTF loop wrapper; builds dat_s / sigRcp per hemisphere inside the
     program (the packing is re-derived from the raw spectra so the whole
     CTF round stays one dispatch)."""
@@ -762,8 +801,8 @@ def _phase_loop_ctf_h(keys, par, cls, proj_stack, i_col, i_row, i_sig,
                                a_term, cb, size, pf, mode, pf_small,
                                trans_s, pixel_size, min_phase, max_phase)
 
-    return jax.vmap(one)(keys, par, cls, proj_stack, ft_masked, sigma,
-                         group_id, ctf_base)
+    return _hemi_map(one, seq)(keys, par, cls, proj_stack, ft_masked,
+                               sigma, group_id, ctf_base)
 
 
 @partial(jax.jit, static_argnames=("mode", "fold_sym"))
@@ -774,6 +813,7 @@ def _finish_phases_h(par, sym_quats, mode: int, fold_sym: bool):
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r",
                                    "n_group", "pixel_size"))
 def _sigma_step_h(ft_ori, ctf_params, mask, i_col, i_row, i_sig,
+                  hi_col, hi_row, hi_sig, hi_mask,
                   proj_stack, cls, top_r, top_t, group_id, sigma_prev, r_u,
                   size: int, pf: int, mode_2d: bool, max_r: int,
                   n_group: int, pixel_size: float):
@@ -781,9 +821,11 @@ def _sigma_step_h(ft_ori, ctf_params, mask, i_col, i_row, i_sig,
 
     def one(ft, cp, ps, cl, tr, tt, gi, sp):
         dat = ft[..., c + i_row, c + i_col]
+        dat_hi = ft[..., c + hi_row, c + hi_col]
         ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
         return _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, ps, cl,
-                           tr, tt, gi, sp, r_u, size, pf, mode_2d,
+                           tr, tt, dat_hi, hi_mask, hi_sig,
+                           gi, sp, r_u, size, pf, mode_2d,
                            max_r, n_group)
 
     return jax.vmap(one)(ft_ori, ctf_params, proj_stack, cls, top_r,
@@ -1129,6 +1171,7 @@ class Optimiser:
         self._ref_mask = None
         self._ref_mask_dev = None
         self._soft_mask_cache = None
+        self._proj_stack_cache: dict = {}
         if cfg.perform_mask and cfg.mask_path:
             from thunder_tpu.io.mrc import read_mrc
 
@@ -1188,12 +1231,31 @@ class Optimiser:
         )
 
     def _proj_stack(self, rings: PackedRings, refs=None):
+        """Prepared projection tables for the current references.
+
+        Building one (pf-padded FFT of every class + grid correction +
+        corner-row packing) costs a large fraction of a round at big
+        boxes, and several stages per round need the same table
+        (refreshProj builds once per round in the reference,
+        Model.cpp:1013) — so cache per (refs identity, crop)."""
         cfg = self.cfg
-        return _prepare_projectee_stack_h(
-            self.state.refs if refs is None else refs,
-            cfg.size, cfg.pf, cfg.mode_2d,
-            _proj_crop_size(cfg.size, cfg.pf, rings.r_u),
-        )
+        crop = _proj_crop_size(cfg.size, cfg.pf, rings.r_u)
+        if refs is not None:
+            return _prepare_projectee_stack_h(refs, cfg.size, cfg.pf,
+                                              cfg.mode_2d, crop)
+        hit = self._proj_stack_cache.get(crop)
+        if hit is not None and hit[0] is self.state.refs:
+            return hit[1]
+        stack = _prepare_projectee_stack_h(self.state.refs, cfg.size,
+                                           cfg.pf, cfg.mode_2d, crop)
+        # holding the refs object in the cache keeps it alive (identity
+        # check stays valid); drop entries from older reference versions
+        self._proj_stack_cache = {
+            c: v for c, v in self._proj_stack_cache.items()
+            if v[0] is self.state.refs
+        }
+        self._proj_stack_cache[crop] = (self.state.refs, stack)
+        return stack
 
     # -- global search --------------------------------------------------
 
@@ -1241,6 +1303,7 @@ class Optimiser:
         w_c, w_r, w_t = _global_search_h(
             proj_stack, rot_blocks, rings.i_col, rings.i_row,
             dat_w, sctf2, a_term, tra, cfg.size, cfg.pf, cfg.mode_2d,
+            seq=self.mesh is None,
         )
         return dict(w_c=w_c, w_r=w_r, w_t=w_t, quats=quats, trans=trans)
 
@@ -1288,6 +1351,7 @@ class Optimiser:
                 cfg.size, cfg.pf, self.mode, float(pf_small),
                 float(cfg.trans_s), float(cfg.pixel_size),
                 int(min_phase), MAX_N_PHASE_PER_ITER,
+                seq=self.mesh is None,
             )
         else:
             dat_w, sctf2, a_term = self._pack_inputs(rings)
@@ -1295,7 +1359,7 @@ class Optimiser:
                 keys, s.par, s.cls, proj_stack, rings.i_col, rings.i_row,
                 dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
                 float(pf_small), float(cfg.trans_s), int(min_phase),
-                MAX_N_PHASE_PER_ITER,
+                MAX_N_PHASE_PER_ITER, seq=self.mesh is None,
             )
         par = _finish_phases_h(par, self.sym.quats, self.mode,
                                self.sym.order > 1 and not cfg.mode_2d)
@@ -1307,11 +1371,20 @@ class Optimiser:
     def refresh_sigma(self):
         cfg = self.cfg
         s = self.state
-        rings = pack_rings(cfg.size, cfg.max_r, 0)
+        # the references carry signal only below the reconstruction
+        # radius (reconstruct caps at max_radius = r_u): project shells
+        # below it (reusing the search-crop projectee table), and feed
+        # plain data power above it (allReduceSigma with
+        # OPTIMISER_SIGMA_WHOLE_FREQUENCY, Optimiser.cpp:6397)
+        r_lo = min(int(self.model.r) + 3, cfg.max_r)
+        rings = pack_rings(cfg.size, r_lo, 0)
+        rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo)
         proj_stack = self._proj_stack(rings)
         s.sigma = _sigma_step_h(
             self.data.ft_ori, self.data.ctf_params, rings.mask,
-            rings.i_col, rings.i_row, rings.i_sig, proj_stack, s.cls,
+            rings.i_col, rings.i_row, rings.i_sig,
+            rings_hi.i_col, rings_hi.i_row, rings_hi.i_sig, rings_hi.mask,
+            proj_stack, s.cls,
             s.par.top_r, s.par.top_t - self.offset, self.data.group_id,
             s.sigma, jnp.asarray(cfg.max_r), cfg.size, cfg.pf,
             cfg.mode_2d, cfg.max_r, self.n_group, float(cfg.pixel_size),
