@@ -102,3 +102,31 @@ def test_3d_refinement_improves_reference():
     # E-M bootstrap: poses improve from ~random (median |dot| ~ 0.3 at
     # round 0 with the blurred init) to well-aligned
     assert best_median > 0.55, f"best median pose dot {best_median}"
+
+
+@pytest.mark.slow
+def test_3d_round_with_mkb_kernel():
+    """One production round with the MKB blob insertion option
+    (reco_kernel='mkb', Reconstructor.cpp:424-567 / Config.h:95)."""
+    size, n = 24, 16
+    phantom, imgs, true_q, true_t = make_3d_dataset(size, n)
+    cfg = ThunderConfig(
+        mode="3D", k=1, size=size, pixel_size=1.0, mask_radius=10.0,
+        trans_s=1.5, init_res=4.0, global_search_res=3.0, sym="C1",
+        m_s=256, m_l_r=12, m_l_t=9, m_reco=8,
+        ignore_res=size * 1.0, trans_search_factor=0.25,
+        ref_auto_recentre=False, reco_kernel="mkb",
+    )
+    ctf = ctf_params(
+        np.full(n, 300e3), np.full(n, 500.0), np.full(n, 500.0),
+        np.zeros(n), np.full(n, 2e7), np.full(n, 0.1), np.zeros(n),
+    )
+    opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64),
+                    init_refs=phantom)
+    opt.run_round(0)
+    refs = np.asarray(opt.state.refs)
+    assert np.all(np.isfinite(refs))
+    from thunder_tpu.physics.mask import radial_grid as rg
+    m = np.asarray(rg(size, 3)) < size // 2 - 4
+    corr = np.corrcoef(refs[0, 0][m], np.asarray(phantom)[m])[0, 1]
+    assert corr > 0.8, f"MKB round phantom corr {corr}"

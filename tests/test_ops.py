@@ -337,3 +337,51 @@ def test_insert_reconstruct_3d_phantom():
     m = u < size // 2 - 4
     corr = np.corrcoef(rec[m], phantom[m])[0, 1]
     assert corr > 0.95
+
+
+def test_mkb_insertion_kernel():
+    """The MKB blob insertion option (Reconstructor.cpp:424-567,
+    Config.h:97's alternative kernel) reconstructs a phantom like the
+    trilinear kernel does."""
+    from thunder_tpu.geometry.quaternion import random_quat, rotate3d
+    from thunder_tpu.ops.insert import (
+        hermitianize,
+        hermitianize_real,
+        insert_slices_3d,
+    )
+    from thunder_tpu.ops.projector import prepare_projectee_3d, project_3d
+    from thunder_tpu.recon.reconstructor import reconstruct
+    from thunder_tpu.physics.mask import radial_grid
+
+    size, pf = 24, 2
+    r_u = size // 2 - 1
+    c = size // 2
+    k = np.arange(size) - c
+    kz, ky, kx = np.meshgrid(k, k, k, indexing="ij")
+    phantom = np.fft.ifftshift(
+        np.exp(-((kx - 2) ** 2 + ky**2 + kz**2) / 6.0)
+        + np.exp(-(kx**2 + (ky + 2) ** 2 + kz**2) / 4.0)
+    ).astype(np.float32)
+    proj = prepare_projectee_3d(jnp.asarray(phantom), pf)
+    rings = pack_rings(size, r_u, 0)
+    rots = rotate3d(random_quat(jax.random.PRNGKey(3), (128,)))
+    slices = project_3d(proj, rots, rings) * rings.mask
+
+    big = size * pf
+    fg = jnp.zeros((big,) * 3, jnp.complex64)
+    tg = jnp.zeros((big,) * 3, jnp.float32)
+    fg, tg = insert_slices_3d(
+        fg, tg, slices,
+        jnp.broadcast_to(rings.mask, slices.shape),
+        rots, rings.i_col, rings.i_row, pf, (r_u - 1) * pf,
+        kernel="mkb",
+    )
+    fg = hermitianize(fg)
+    tg = hermitianize_real(tg)
+    vol = reconstruct(fg, tg, jnp.ones((size // 2,), jnp.float32),
+                      size, pf, r_u, map_wiener=False, join_half=False,
+                      grid_corr=True, kernel="mkb")
+    u = np.asarray(radial_grid(size, 3))
+    m = u < size // 2 - 3
+    corr = np.corrcoef(np.asarray(vol)[m], phantom[m])[0, 1]
+    assert corr > 0.98, f"MKB insertion phantom corr {corr}"

@@ -79,3 +79,33 @@ def test_tools_main_dispatch(tmp_path):
     tools.main(["lowpass", "-i", a, "-o", out, "--res", "4", "--pixelsize", "1.0"])
     lp, _ = read_mrc(out)
     assert np.isfinite(lp).all()
+
+
+def test_bmp_roundtrip(tmp_path):
+    """8-bit BMP write/read (BMP.cpp:84-160, ImageFile::readImageBMP)."""
+    from thunder_tpu.io.bmp import read_bmp, write_bmp
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((37, 45)).astype(np.float32)  # odd stride
+    p = str(tmp_path / "t.bmp")
+    write_bmp(p, img)
+    back = read_bmp(p)
+    assert back.shape == img.shape
+    # 8-bit quantised min-max scale: correlation is the right metric
+    assert np.corrcoef(back.ravel(), img.ravel())[0, 1] > 0.999
+
+
+def test_bmp_in_loader(tmp_path):
+    from thunder_tpu.io.bmp import write_bmp
+    from thunder_tpu.io.loader import load_images
+    from thunder_tpu.io.thu import ThuTable
+
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((16, 16)).astype(np.float32)
+    p = str(tmp_path / "p.bmp")
+    write_bmp(p, img)
+    t = ThuTable.blank(2, voltage=300e3)
+    t.particle_path = [p, p]
+    out = load_images(t)
+    assert out.shape == (2, 16, 16)
+    assert np.corrcoef(out[0].ravel(), img.ravel())[0, 1] > 0.999

@@ -48,6 +48,11 @@ class ThunderConfig:
     pf: int = 2
     mkb_alpha: float = 15.0
     mkb_a: float = 1.9
+    # insertion kernel: "trilinear" (the reference's default,
+    # RECONSTRUCTOR_TRILINEAR_KERNEL, Config.h:97) takes the fast
+    # shear-sweep path; "mkb" uses the modified Kaiser-Bessel blob
+    # option (Reconstructor.cpp:424-567) via the scatter path
+    reco_kernel: str = "trilinear"
     m_s: int = 10000                    # global sampling points (3D)
     m_s_2d: int = 100                   # global sampling points (2D)
     m_l_r: int = 125                    # local rotation support (3D)

@@ -40,7 +40,14 @@ def load_images(thu: ThuTable, prefix: str = "",
     use_native = native.available()
     for path, entries in per_file.items():
         slices = [s for _, s in entries]
-        if use_native:
+        if path.lower().endswith(".bmp"):
+            # 8-bit BMP single images (ImageFile.cpp:122-130: iSlc must
+            # be 0 for BMP)
+            from thunder_tpu.io.bmp import read_bmp
+
+            img = read_bmp(path)
+            imgs = [img for _ in slices]
+        elif use_native:
             imgs = native.read_mrc_slices_native(path, slices)
         else:
             imgs = MrcFile(path).read_slices(slices)

@@ -49,16 +49,44 @@ def _bilinear_taps(x, y):
     return taps
 
 
+def _mkb_taps(x, y, z, a: float, alpha: float):
+    """Taps within the MKB blob support |d| < a (a <= 2): the 4^3
+    neighbourhood around the sample, weighted by the blob's Fourier-
+    domain profile MKB_FT — the reference's insertion kernel
+    (_kernelFT = MKB_FT_R2(., a, alpha), Reconstructor.cpp:65-75,
+    :424-567; the real-space MKB_RL envelope divides the final map
+    instead, :1785-1793)."""
+    from thunder_tpu.physics.kernels import mkb_ft
+
+    fx, fy, fz = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    ix, iy, iz = (fx.astype(jnp.int32), fy.astype(jnp.int32),
+                  fz.astype(jnp.int32))
+    taps = []
+    for dz in (-1, 0, 1, 2):
+        for dy in (-1, 0, 1, 2):
+            for dx in (-1, 0, 1, 2):
+                r2 = ((fx + dx - x) ** 2 + (fy + dy - y) ** 2
+                      + (fz + dz - z) ** 2)
+                r = jnp.sqrt(jnp.maximum(r2, 0.0))
+                w = jnp.where(r2 < a * a, mkb_ft(r, a, alpha), 0.0)
+                taps.append((iz + dz, iy + dy, ix + dx, w))
+    return taps
+
+
 def insert_slices_3d(f_grid: jax.Array, t_grid: jax.Array,
                      vals: jax.Array, ctf2w: jax.Array,
                      rot: jax.Array, i_col: jax.Array, i_row: jax.Array,
-                     pf: int, max_radius_pad: float) -> tuple[jax.Array, jax.Array]:
+                     pf: int, max_radius_pad: float,
+                     kernel: str = "trilinear", a: float = 1.9,
+                     alpha: float = 15.0) -> tuple[jax.Array, jax.Array]:
     """Scatter one batch of slices into (F, T).
 
     f_grid: (big, big, big) complex64 centered; t_grid same, float32.
     vals  : (..., p) complex  = w * ctf * translated data
     ctf2w : (..., p) float    = w * ctf^2
     rot   : (..., 3, 3); i_col/i_row: (p,) packed frequencies.
+    kernel: "trilinear" (default, Config.h:97) or "mkb" (the modified
+    Kaiser-Bessel blob option, Reconstructor.cpp:424-567).
 
     Returns updated (f_grid, t_grid).  Out-of-radius taps get zero
     weight (the packing already restricts to max radius; the pad-grid
@@ -81,11 +109,16 @@ def insert_slices_3d(f_grid: jax.Array, t_grid: jax.Array,
     wflat = ctf2w.reshape(-1).astype(jnp.float32)
     xf, yf, zf = x.reshape(-1), y.reshape(-1), z.reshape(-1)
 
-    # one fused scatter-add: all 8 taps x {Re F, Im F, T} as (8N, 3)
-    # float rows into a (big^3, 3) packed accumulator (24 separate
+    if kernel == "mkb":
+        taps = _mkb_taps(xf, yf, zf, a, alpha)
+    else:
+        taps = _trilinear_taps(xf, yf, zf)
+
+    # one fused scatter-add: all taps x {Re F, Im F, T} as (T*N, 3)
+    # float rows into a (big^3, 3) packed accumulator (separate
     # scatters cost ~3x more on TPU; scatter pays per update row)
     lins, upds = [], []
-    for iz, iy, ix, w in _trilinear_taps(xf, yf, zf):
+    for iz, iy, ix, w in taps:
         xi = jnp.clip(ix + c, 0, big - 1)
         yi = jnp.clip(iy + c, 0, big - 1)
         zi = jnp.clip(iz + c, 0, big - 1)

@@ -572,10 +572,11 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
-                                   "grid_size"))
+                                   "grid_size", "kernel"))
 def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
                   sym_mats, max_radius_pad, size: int, pf: int,
-                  mode_2d: bool, n_sym: int, grid_size: int | None = None):
+                  mode_2d: bool, n_sym: int, grid_size: int | None = None,
+                  kernel: str = "trilinear"):
     """Translate-align + scatter-insert one class's images into (F, T).
 
     ctf: (L, P) shared across draws, or (L, D, P) per-draw (defocus
@@ -602,7 +603,8 @@ def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
         f_grid = jnp.zeros((big,) * 3, jnp.complex64)
         t_grid = jnp.zeros((big,) * 3, jnp.float32)
         f_grid, t_grid = insert_slices_3d(
-            f_grid, t_grid, vals, ctf2w, rot, i_col, i_row, pf, max_radius_pad
+            f_grid, t_grid, vals, ctf2w, rot, i_col, i_row, pf,
+            max_radius_pad, kernel=kernel,
         )
     f_grid = hermitianize(f_grid)
     t_grid = hermitianize_real(t_grid)
@@ -615,16 +617,17 @@ def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
-                                   "grid_size"))
+                                   "grid_size", "kernel"))
 def _insert_all_classes(dat, ctf, mask, i_col, i_row, quats, trans, w_l_all,
                         sym_mats, max_radius_pad, size: int, pf: int,
-                        mode_2d: bool, n_sym: int, grid_size: int):
+                        mode_2d: bool, n_sym: int, grid_size: int,
+                        kernel: str = "trilinear"):
     """All classes' insertions in one program (vmap over the one-hot
     class weights)."""
     def one(w_l):
         return _insert_class(dat, ctf, mask, i_col, i_row, quats, trans,
                              w_l, sym_mats, max_radius_pad, size, pf,
-                             mode_2d, n_sym, grid_size)
+                             mode_2d, n_sym, grid_size, kernel)
 
     return jax.vmap(one)(w_l_all)
 
@@ -679,16 +682,18 @@ def _recentre_refs(refs, o_class, mode_2d: bool):
 
 @partial(jax.jit, static_argnames=("grid_size", "pf", "max_radius",
                                    "map_wiener", "join_half", "grid_corr",
-                                   "out_size"))
+                                   "out_size", "kernel"))
 def _reconstruct_all(f_all, t_all, fsc_all, grid_size: int, pf: int,
                      max_radius: int, map_wiener: bool, join_half: bool,
-                     grid_corr: bool, out_size: int):
+                     grid_corr: bool, out_size: int,
+                     kernel: str = "trilinear"):
     """Per-class gridding reconstructions in one program, Fourier-
     upsampled to the output box when the grid was cropped."""
     def one(f_grid, t_grid, fsc_curve):
         vol = reconstruct(f_grid, t_grid, fsc_curve, grid_size, pf,
                           max_radius, map_wiener=map_wiener,
-                          join_half=join_half, grid_corr=grid_corr)
+                          join_half=join_half, grid_corr=grid_corr,
+                          kernel=kernel)
         if grid_size != out_size:
             vol = resize_rl(vol, out_size)
         return vol
@@ -868,11 +873,12 @@ def _draw_poses_h(keys, par, n_draw: int):
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
                                    "grid_size", "pixel_size", "use_d",
-                                   "r_u"))
+                                   "r_u", "kernel"))
 def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
                   d_draw, w_l_all, sym_mats, max_radius_pad, size: int,
                   pf: int, mode_2d: bool, n_sym: int, grid_size: int,
-                  pixel_size: float, use_d: bool, r_u: int):
+                  pixel_size: float, use_d: bool, r_u: int,
+                  kernel: str = "trilinear"):
     """Both hemispheres' per-class insertions in one program; the CTF is
     evaluated inside (per-draw defocus-scaled when use_d).
 
@@ -888,7 +894,7 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
             ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
         return _insert_all_classes(dat, ctf, mask, i_col, i_row, q, tr, wl,
                                    sym_mats, max_radius_pad, size, pf,
-                                   mode_2d, n_sym, grid_size)
+                                   mode_2d, n_sym, grid_size, kernel)
 
     def one_3d(ft, cp, q, tr, dd, wl):
         from thunder_tpu.ops.insert import insert_sweep_3d
@@ -931,23 +937,24 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
                 g.astype(jnp.complex64), sym_mats, max_radius_pad))(t))
         return f, t
 
-    one = one_2d if mode_2d else one_3d
+    one = one_2d if (mode_2d or kernel == "mkb") else one_3d
     return jax.vmap(one)(ft_ori, ctf_params, quats, trans, d_draw, w_l_all)
 
 
 @partial(jax.jit, static_argnames=("grid_size", "pf", "max_radius",
                                    "map_wiener", "join_half", "grid_corr",
-                                   "out_size"))
+                                   "out_size", "kernel"))
 def _reconstruct_all_h(f2, t2, fsc_all, grid_size: int, pf: int,
                        max_radius: int, map_wiener: bool, join_half: bool,
-                       grid_corr: bool, out_size: int):
+                       grid_corr: bool, out_size: int,
+                       kernel: str = "trilinear"):
     """Per-hemisphere, per-class gridding reconstructions; the FSC curve
     (previous round's, shared by both halves as in Model::_FSC) rides
     along unbatched."""
     return jax.vmap(
         lambda f, t: _reconstruct_all(f, t, fsc_all, grid_size, pf,
                                       max_radius, map_wiener, join_half,
-                                      grid_corr, out_size)
+                                      grid_corr, out_size, kernel)
     )(f2, t2)
 
 
@@ -1578,7 +1585,7 @@ class Optimiser:
             rings.i_col, rings.i_row, quats, trans, d_draw, w_l_all,
             self.sym.matrices, jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
             cfg.size, cfg.pf, cfg.mode_2d, self.sym.order, grid_size,
-            float(cfg.pixel_size), use_d, r_u,
+            float(cfg.pixel_size), use_d, r_u, cfg.reco_kernel,
         )
         return f2, t2, r_u, grid_size
 
@@ -1594,6 +1601,7 @@ class Optimiser:
         grid_mb = big ** 3 * 8 // 2 ** 20
         mesh = self.mesh
         if (mesh is not None and not cfg.mode_2d
+                and cfg.reco_kernel != "mkb"
                 and "hemi" in mesh.axis_names and "data" in mesh.axis_names
                 and mesh.shape["hemi"] == 2
                 and mesh.shape["data"] > 1
@@ -1614,7 +1622,7 @@ class Optimiser:
                     r_u, map_wiener, join_half, grid_corr, cfg.size)
         return _reconstruct_all_h(
             f2, t2, jnp.asarray(fsc_all), grid_size, cfg.pf, r_u,
-            map_wiener, join_half, grid_corr, cfg.size)
+            map_wiener, join_half, grid_corr, cfg.size, cfg.reco_kernel)
 
     def _reconstruct_and_compare(self, record: dict):
         """Reconstruction + cross-hemisphere FSC + conditional averaging

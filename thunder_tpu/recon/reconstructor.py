@@ -78,6 +78,17 @@ def _tik_correction(size: int, ndim: int, pf: int) -> jax.Array:
     return tik_rl(r).astype(jnp.float32)
 
 
+def _mkb_correction(size: int, ndim: int, pf: int,
+                    a: float = DEFAULT_MKB_A,
+                    alpha: float = DEFAULT_MKB_ALPHA) -> jax.Array:
+    """Real-space MKB envelope for the blob-kernel option, normalised
+    to 1 at the origin (Reconstructor.cpp:1785-1793: divide by
+    MKB_RL(r/(pf N), a*pf, alpha) and multiply by MKB_RL(0, ...))."""
+    r = radial_grid_dev(size, ndim) / (pf * size)
+    nf = _mkb_rl_nf(a * pf, alpha)
+    return (mkb_rl(r, a * pf, alpha) / nf).astype(jnp.float32)
+
+
 def wiener_filter_t(t_grid: jax.Array, fsc_curve: jax.Array, pf: int,
                     max_radius: int, join_half: bool) -> jax.Array:
     """T /= clamp(FSC) on shells in [WIENER_FACTOR_MIN_R*pf, maxRadius*pf)."""
@@ -176,7 +187,8 @@ def _quad_inside(big: int, ndim: int, radius: float) -> jax.Array:
 
 def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
                             pf: int, max_radius: int,
-                            grid_corr: bool = True) -> jax.Array:
+                            grid_corr: bool = True,
+                            kernel: str = "trilinear") -> jax.Array:
     """F.W -> real space -> extract 1/pf -> trilinear kernel correction.
 
     Returns the reconstructed real-space volume/image (FFT layout, size^ndim).
@@ -193,7 +205,9 @@ def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
     rl = jnp.fft.irfftn(half, s=pad_dst.shape, axes=axes)
     out = extract_rl(rl, pf)
     if grid_corr:
-        out = out / _tik_correction(size, ndim, pf)
+        corr = (_mkb_correction(size, ndim, pf) if kernel == "mkb"
+                else _tik_correction(size, ndim, pf))
+        out = out / corr
     # padding in real space spreads the density over pf^ndim fewer...
     # normalization: ifft of the padded grid divides by (pf*size)^ndim
     # while the reference's FFTW bw divides by the same count — scale
@@ -202,11 +216,12 @@ def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "max_radius", "map_wiener",
-                                   "join_half", "grid_corr"))
+                                   "join_half", "grid_corr", "kernel"))
 def reconstruct(f_grid: jax.Array, t_grid: jax.Array, fsc_curve: jax.Array,
                 size: int, pf: int, max_radius: int,
                 map_wiener: bool = True, join_half: bool = False,
-                grid_corr: bool = True) -> jax.Array:
+                grid_corr: bool = True,
+                kernel: str = "trilinear") -> jax.Array:
     """Full per-class reconstruction from accumulated (F, T) grids.
 
     One jitted program: Wiener -> balance while_loop -> final transform
@@ -221,7 +236,8 @@ def reconstruct(f_grid: jax.Array, t_grid: jax.Array, fsc_curve: jax.Array,
         big, ndim = t_real.shape[-1], t_real.ndim
         quad_inside = _quad_inside(big, ndim, max_radius * pf)
         w = jnp.where(quad_inside, 1.0 / jnp.maximum(t_real, T_MIN), 0.0)
-    return finalize_reconstruction(f_grid, w, size, pf, max_radius, grid_corr)
+    return finalize_reconstruction(f_grid, w, size, pf, max_radius,
+                                   grid_corr, kernel)
 
 
 def symmetrize_ft(grid: jax.Array, sym_mats: jax.Array, max_radius_pad: float) -> jax.Array:
