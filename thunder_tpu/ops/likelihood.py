@@ -22,6 +22,15 @@ contractions instead of the reference's hand-vectorized pixel loops; a
 flash-attention-style scan over rotation blocks keeps the running
 log-sum-exp baseline and the wC/wR/wT marginals without materializing
 the full (L, M, N) tensor (Optimiser.cpp:827-897's streaming baseline).
+
+Kernel-strategy note: a hand-written Pallas/Mosaic likelihood kernel
+was evaluated on the real chip and REMOVED in round 2 — it compiled but
+ran ~20x slower than this XLA einsum path (737 ms vs 38 ms at
+L=64,M=128,N=8,P=512; Mosaic's scheduling on v5e lost to XLA's fused
+MXU contraction), and Mosaic's dynamic-gather lowering is broken beyond
+one (8,128) tile on this toolchain.  The TPU-native kernel wins live in
+the data layout instead: corner-row projection tables (ops/projector.py)
+and the scatter-free shear-sweep insertion (ops/insert.py).
 """
 
 from __future__ import annotations

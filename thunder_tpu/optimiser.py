@@ -624,21 +624,47 @@ def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
     vals = dat_al * (ctf_d * mask) * w_l[:, None, None]
     ctf2w = (ctf_d * ctf_d * mask) * w_l[:, None, None]
 
+    # scatter in draw chunks: the fused scatter materialises
+    # (taps * L * chunk * P, 3) update rows, which at mReco=100 would
+    # not fit HBM in one shot
+    n_draw = vals.shape[1]
+    if n_draw <= 8:
+        chunk = n_draw
+    else:
+        chunk = next(c for c in (8, 7, 6, 5, 4, 3, 2, 1)
+                     if n_draw % c == 0)
+
     if mode_2d:
         rot = rotate2d_from_unit(quats[..., :2])
         f_grid = jnp.zeros((big, big), jnp.complex64)
         t_grid = jnp.zeros((big, big), jnp.float32)
-        f_grid, t_grid = insert_slices_2d(
-            f_grid, t_grid, vals, ctf2w, rot, i_col, i_row, pf, max_radius_pad
-        )
+        insert_fn = partial(insert_slices_2d, i_col=i_col, i_row=i_row,
+                            pf=pf, max_radius_pad=max_radius_pad)
     else:
         rot = rotate3d(quats)
         f_grid = jnp.zeros((big,) * 3, jnp.complex64)
         t_grid = jnp.zeros((big,) * 3, jnp.float32)
-        f_grid, t_grid = insert_slices_3d(
-            f_grid, t_grid, vals, ctf2w, rot, i_col, i_row, pf,
-            max_radius_pad, kernel=kernel,
-        )
+        insert_fn = partial(insert_slices_3d, i_col=i_col, i_row=i_row,
+                            pf=pf, max_radius_pad=max_radius_pad,
+                            kernel=kernel)
+
+    if chunk == n_draw:
+        f_grid, t_grid = insert_fn(f_grid, t_grid, vals, ctf2w, rot)
+    else:
+        n_chunks = n_draw // chunk
+        ctf2w = jnp.broadcast_to(ctf2w, vals.shape)
+
+        def r(x):
+            return jnp.moveaxis(
+                x.reshape(x.shape[0], n_chunks, chunk, *x.shape[2:]), 1, 0)
+
+        def step(carry, inp):
+            fg, tg = carry
+            v, c2, ro = inp
+            return insert_fn(fg, tg, v, c2, ro), None
+
+        (f_grid, t_grid), _ = jax.lax.scan(
+            step, (f_grid, t_grid), (r(vals), r(ctf2w), r(rot)))
     f_grid = hermitianize(f_grid)
     t_grid = hermitianize_real(t_grid)
     if not mode_2d and n_sym > 1:
@@ -655,14 +681,16 @@ def _insert_all_classes(dat, ctf, mask, i_col, i_row, quats, trans, w_l_all,
                         sym_mats, max_radius_pad, size: int, pf: int,
                         mode_2d: bool, n_sym: int, grid_size: int,
                         kernel: str = "trilinear"):
-    """All classes' insertions in one program (vmap over the one-hot
-    class weights)."""
+    """All classes' insertions in one program (sequential over the
+    one-hot class weights: each class materialises its own weighted
+    copies of the draw batch, so a vmap would multiply peak memory by
+    K — measured OOM at K=10, mReco=100, 160px)."""
     def one(w_l):
         return _insert_class(dat, ctf, mask, i_col, i_row, quats, trans,
                              w_l, sym_mats, max_radius_pad, size, pf,
                              mode_2d, n_sym, grid_size, kernel)
 
-    return jax.vmap(one)(w_l_all)
+    return jax.lax.map(one, w_l_all)
 
 
 @partial(jax.jit, static_argnames=("mode", "fold_sym"))
@@ -929,6 +957,37 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
                                    sym_mats, max_radius_pad, size, pf,
                                    mode_2d, n_sym, grid_size, kernel)
 
+    def one_2d_sweep(ft, cp, q, tr, dd, wl):
+        from thunder_tpu.ops.insert import insert_sweep_2d
+
+        nk = 2 * r_u - 1
+        rr = r_u - 1
+        kk = jnp.arange(nk, dtype=jnp.int32) - rr
+        ky, kx = jnp.meshgrid(kk, kk, indexing="ij")
+        vc, vr = kx.reshape(-1), ky.reshape(-1)
+        q2 = (kx * kx + ky * ky).astype(jnp.float32)
+        mask_d = (q2 < (r_u - 1) * (r_u - 1)).astype(jnp.float32)
+        mask_d = mask_d * jnp.where(q2 == 0, 2.0, 1.0)
+
+        n_img, n_draw = q.shape[0], q.shape[1]
+        dat = jax.lax.dynamic_slice(
+            ft, (0, c - rr, c - rr), (ft.shape[0], nk, nk))
+        tra = translate_phases_view(vc, vr, size, tr)
+        if use_d:
+            ctf = ctf_packed_scaled(cp, vc, vr, size, pixel_size, dd)
+        else:
+            ctf = ctf_packed(cp, vc, vr, size, pixel_size)[:, None, :]
+        vals = (dat.reshape(n_img, 1, -1) * jnp.conj(tra)
+                * (ctf * mask_d.reshape(-1)))
+        ctf2w = jnp.broadcast_to(ctf * ctf * mask_d.reshape(-1), vals.shape)
+        rot = rotate2d_from_unit(q[..., :2])
+        big = grid_size * pf
+        w_cls = jnp.repeat(wl, n_draw, axis=1)
+        return insert_sweep_2d(
+            vals.reshape(-1, nk, nk), ctf2w.reshape(-1, nk, nk),
+            rot.reshape(-1, 2, 2), w_cls, big, pf,
+        )
+
     def one_3d(ft, cp, q, tr, dd, wl):
         from thunder_tpu.ops.insert import insert_sweep_3d
 
@@ -970,7 +1029,10 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
                 g.astype(jnp.complex64), sym_mats, max_radius_pad))(t))
         return f, t
 
-    one = one_2d if (mode_2d or kernel == "mkb") else one_3d
+    if kernel == "mkb":
+        one = one_2d
+    else:
+        one = one_2d_sweep if mode_2d else one_3d
     return jax.vmap(one)(ft_ori, ctf_params, quats, trans, d_draw, w_l_all)
 
 
