@@ -173,6 +173,83 @@ def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
+def _sweep_coeffs(rot, pf: int) -> dict:
+    """Per-image branch-free sweep coefficients (see insert_sweep_3d).
+
+    Dense slices are (row, col) = (i_row, i_col); position =
+    i_col * pf*R[:,0] + i_row * pf*R[:,1], so the slice's first spatial
+    axis (h = row) pairs with R column 1."""
+    e1 = rot[:, :, 1] * pf                     # (B, 3) components (x,y,z)
+    e2 = rot[:, :, 0] * pf
+    nrm = rot[:, :, 2]                         # unit plane normal
+
+    case = jnp.argmax(jnp.abs(nrm), axis=1)    # 0:x 1:y 2:z height axis
+    # canonical (a, m, l) component indices per case
+    a_i = case
+    m_i = jnp.where(case == 2, 1, 2)           # z->y else z
+    l_i = jnp.where(case == 0, 1, 0)           # x->y else x
+
+    def comp(v, idx):
+        return jnp.take_along_axis(v, idx[:, None], axis=1)[:, 0]
+
+    ea1, em1, el1 = comp(e1, a_i), comp(e1, m_i), comp(e1, l_i)
+    ea2, em2, el2 = comp(e2, a_i), comp(e2, m_i), comp(e2, l_i)
+    n_a, n_m, n_l = comp(nrm, a_i), comp(nrm, m_i), comp(nrm, l_i)
+
+    # h/k swap so the first-contracted direction (k) has the strongest
+    # in-plane footprint
+    swap_hk = (jnp.maximum(jnp.abs(em1), jnp.abs(el1))
+               > jnp.maximum(jnp.abs(em2), jnp.abs(el2)))
+    em1, em2 = (jnp.where(swap_hk, em2, em1), jnp.where(swap_hk, em1, em2))
+    el1, el2 = (jnp.where(swap_hk, el2, el1), jnp.where(swap_hk, el1, el2))
+
+    # m/l swap so pass 2's pivot |em2| dominates (division safety)
+    swap_ml = jnp.abs(el2) > jnp.abs(em2)
+    em1, el1 = (jnp.where(swap_ml, el1, em1), jnp.where(swap_ml, em1, el1))
+    em2, el2 = (jnp.where(swap_ml, el2, em2), jnp.where(swap_ml, em2, el2))
+    n_m, n_l = (jnp.where(swap_ml, n_l, n_m), jnp.where(swap_ml, n_m, n_l))
+
+    det2 = el1 * em2 - el2 * em1
+    n_a_safe = jnp.where(jnp.abs(n_a) < 1e-12, 1e-12, n_a)
+    return dict(
+        swap_hk=swap_hk, swap_ml=swap_ml,
+        em1=em1, em2=em2,
+        p_h=det2 / em2,                        # l-centre coeff on h
+        q_m=el2 / em2,                         # l-centre coeff on m
+        alpha=-n_l / n_a_safe, beta=-n_m / n_a_safe,
+        case_oh=(case[:, None] == jnp.arange(3)[None, :]).astype(
+            jnp.float32),
+    )
+
+
+def _sweep_s1(valsc, ctfwc, wcc, co: dict, ch: int, chunk: int, nk: int,
+              hh, gg):
+    """Passes 3^T and 2^T for one chunk: slice values -> the canonical
+    in-plane raster S1 (chunk, ch, BIG_m, BIG_l) plus the per-image
+    height coefficients in canonical orientation."""
+    uc = jnp.stack([jnp.real(valsc), jnp.imag(valsc), ctfwc], axis=1)
+    uc = (wcc[:, :, None, None, None] * uc[:, None]).reshape(
+        chunk, ch, nk, nk)
+    uc = jnp.where(co["swap_hk"][:, None, None, None],
+                   jnp.swapaxes(uc, -1, -2), uc)
+    # pass 3^T: spread along m
+    ctr_m = (co["em1"][:, None, None] * hh[None, :, None]
+             + co["em2"][:, None, None] * hh[None, None, :])
+    w3 = _hat(gg[None, None, None, :] - ctr_m[..., None])
+    b_hm = jnp.einsum("bhkm,bchk->bchm", w3, uc)
+    # pass 2^T: spread along l with sheared centres
+    ctr_l = (co["p_h"][:, None, None] * hh[None, :, None]
+             + co["q_m"][:, None, None] * gg[None, None, :])
+    w2 = _hat(gg[None, None, None, :] - ctr_l[..., None])
+    s1 = jnp.einsum("bhml,bchm->bcml", w2, b_hm)
+    # undo the m/l swap so (m, l) are canonical per case
+    s1 = jnp.where(co["swap_ml"][:, None, None, None],
+                   jnp.swapaxes(s1, -1, -2), s1)
+    alc2 = jnp.where(co["swap_ml"], co["beta"], co["alpha"])
+    bec2 = jnp.where(co["swap_ml"], co["alpha"], co["beta"])
+    return s1, alc2, bec2, co["case_oh"]
+
+
 # Height-axis kernel width for the sweep inserter.  The in-plane passes
 # keep hat width 1 (trilinear-like), but the height pass needs width 2:
 # a width-1 kernel centred on the plane's per-column height leaves the
@@ -233,77 +310,16 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
         w_cls = jnp.pad(w_cls, ((0, 0), (0, pad)))
     nb_pad = vals.shape[0]
 
-    # dense slices are (row, col) = (i_row, i_col); position =
-    # i_col * pf*R[:,0] + i_row * pf*R[:,1], so the slice's first
-    # spatial axis (h = row) pairs with R column 1
-    e1 = rot[:, :, 1] * pf                     # (B, 3) components (x,y,z)
-    e2 = rot[:, :, 0] * pf
-    nrm = rot[:, :, 2]                         # unit plane normal
-
-    case = jnp.argmax(jnp.abs(nrm), axis=1)    # 0:x 1:y 2:z height axis
-    # canonical (a, m, l) component indices per case
-    a_i = case
-    m_i = jnp.where(case == 2, 1, 2)           # z->y else z
-    l_i = jnp.where(case == 0, 1, 0)           # x->y else x
-
-    def comp(v, idx):
-        return jnp.take_along_axis(v, idx[:, None], axis=1)[:, 0]
-
-    ea1, em1, el1 = comp(e1, a_i), comp(e1, m_i), comp(e1, l_i)
-    ea2, em2, el2 = comp(e2, a_i), comp(e2, m_i), comp(e2, l_i)
-    n_a, n_m, n_l = comp(nrm, a_i), comp(nrm, m_i), comp(nrm, l_i)
-
-    # h/k swap so the first-contracted direction (k) has the strongest
-    # in-plane footprint
-    swap_hk = (jnp.maximum(jnp.abs(em1), jnp.abs(el1))
-               > jnp.maximum(jnp.abs(em2), jnp.abs(el2)))
-    em1, em2 = (jnp.where(swap_hk, em2, em1), jnp.where(swap_hk, em1, em2))
-    el1, el2 = (jnp.where(swap_hk, el2, el1), jnp.where(swap_hk, el1, el2))
-    ea1, ea2 = (jnp.where(swap_hk, ea2, ea1), jnp.where(swap_hk, ea1, ea2))
-
-    # m/l swap so pass 2's pivot |em2| dominates (division safety)
-    swap_ml = jnp.abs(el2) > jnp.abs(em2)
-    em1, el1 = (jnp.where(swap_ml, el1, em1), jnp.where(swap_ml, em1, el1))
-    em2, el2 = (jnp.where(swap_ml, el2, em2), jnp.where(swap_ml, em2, el2))
-    n_m, n_l = (jnp.where(swap_ml, n_l, n_m), jnp.where(swap_ml, n_m, n_l))
-
-    det2 = el1 * em2 - el2 * em1
-    p_h = det2 / em2                           # l-centre coeff on h
-    q_m = el2 / em2                            # l-centre coeff on m
-    alpha = -n_l / jnp.where(jnp.abs(n_a) < 1e-12, 1e-12, n_a)
-    beta = -n_m / jnp.where(jnp.abs(n_a) < 1e-12, 1e-12, n_a)
-
+    coeffs = _sweep_coeffs(rot, pf)
     c = big // 2
     r_h = nk // 2
     hh = jnp.arange(nk, dtype=jnp.float32) - r_h
     gg = jnp.arange(big, dtype=jnp.float32) - c
 
-    case_oh = (case[:, None] == jnp.arange(3)[None, :]).astype(jnp.float32)
-
     def chunk_step(acc, inp):
-        (valsc, ctfwc, wcc, sw_hk, em1c, em2c, p_hc, q_mc, alc, bec,
-         sw_ml, case_c) = inp
-        # channel stack per chunk: per class {re, im, t}, h/k-swapped
-        uc = jnp.stack([jnp.real(valsc), jnp.imag(valsc), ctfwc], axis=1)
-        uc = (wcc[:, :, None, None, None] * uc[:, None]).reshape(
-            chunk, ch, nk, nk)
-        uc = jnp.where(sw_hk[:, None, None, None],
-                       jnp.swapaxes(uc, -1, -2), uc)
-        # pass 3^T: spread along m.  W3 (CH, NK_h, NK_k, BIG_m)
-        ctr_m = (em1c[:, None, None] * hh[None, :, None]
-                 + em2c[:, None, None] * hh[None, None, :])
-        w3 = _hat(gg[None, None, None, :] - ctr_m[..., None])
-        b_hm = jnp.einsum("bhkm,bchk->bchm", w3, uc)
-        # pass 2^T: spread along l with sheared centres
-        ctr_l = (p_hc[:, None, None] * hh[None, :, None]
-                 + q_mc[:, None, None] * gg[None, None, :])
-        w2 = _hat(gg[None, None, None, :] - ctr_l[..., None])
-        s1 = jnp.einsum("bhml,bchm->bcml", w2, b_hm)
-        # undo the m/l swap so (m, l) are canonical per case
-        s1 = jnp.where(sw_ml[:, None, None, None],
-                       jnp.swapaxes(s1, -1, -2), s1)
-        alc2 = jnp.where(sw_ml, bec, alc)
-        bec2 = jnp.where(sw_ml, alc, bec)
+        valsc, ctfwc, wcc, co = inp
+        s1, alc2, bec2, case_c = _sweep_s1(valsc, ctfwc, wcc, co, ch,
+                                           chunk, nk, hh, gg)
         # pass 1^T: spread along the height axis, one masked einsum per
         # height-axis case into that case's canonical accumulator
         zeta = (alc2[:, None, None] * gg[None, None, :]
@@ -326,8 +342,8 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
 
     acc, _ = jax.lax.scan(
         chunk_step, acc0,
-        (r(vals), r(ctf2w), r(w_cls.T), r(swap_hk), r(em1), r(em2),
-         r(p_h), r(q_m), r(alpha), r(beta), r(swap_ml), r(case_oh)),
+        (r(vals), r(ctf2w), r(w_cls.T),
+         jax.tree.map(r, coeffs)),
     )
     # canonical (a, m, l) -> physical (z, y, x):
     #   case x (a=x, m=z, l=y): V[z,y,x] = acc0[x, z, y]

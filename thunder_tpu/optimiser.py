@@ -693,6 +693,56 @@ def _insert_all_classes(dat, ctf, mask, i_col, i_row, quats, trans, w_l_all,
     return jax.lax.map(one, w_l_all)
 
 
+@partial(jax.jit, static_argnames=("size", "pf", "pixel_size", "use_d",
+                                   "r_u", "n_sym"))
+def _dense_slices_h(ft_ori, ctf_params, quats, trans, d_draw, w_l_all,
+                    sym_mats, size: int, pf: int, pixel_size: float,
+                    use_d: bool, r_u: int, n_sym: int):
+    """Dense full-plane slices for the volume-sharded inserter, with
+    POSE-SIDE symmetrisation: each draw is repeated at R_s^-1-rotated
+    poses, which equals symmetrising F/T after insertion (SYMMETRIZE_FT
+    sums grid(R_s f)) without ever touching a full volume.
+
+    Returns vals/ctf2w (2, L*D*S, nk, nk), rot (2, L*D*S, 3, 3),
+    w_cls (2, K, L*D*S)."""
+    c = size // 2
+    nk = 2 * r_u - 1
+    rr = r_u - 1
+    kk = jnp.arange(nk, dtype=jnp.int32) - rr
+    ky, kx = jnp.meshgrid(kk, kk, indexing="ij")
+    vc, vr = kx.reshape(-1), ky.reshape(-1)
+    q2 = (kx * kx + ky * ky).astype(jnp.float32)
+    mask_d = (q2 < (r_u - 1) * (r_u - 1)).astype(jnp.float32)
+    mask_d = mask_d * jnp.where(q2 == 0, 2.0, 1.0)
+
+    def one(ft, cp, q, tr, dd, wl):
+        n_img, n_draw = q.shape[0], q.shape[1]
+        dat = jax.lax.dynamic_slice(
+            ft, (0, c - rr, c - rr), (ft.shape[0], nk, nk))
+        tra = translate_phases_view(vc, vr, size, tr)
+        if use_d:
+            ctf = ctf_packed_scaled(cp, vc, vr, size, pixel_size, dd)
+        else:
+            ctf = ctf_packed(cp, vc, vr, size, pixel_size)[:, None, :]
+        vals = (dat.reshape(n_img, 1, -1) * jnp.conj(tra)
+                * (ctf * mask_d.reshape(-1)))
+        ctf2w = jnp.broadcast_to(ctf * ctf * mask_d.reshape(-1), vals.shape)
+        rot = rotate3d(q)                               # (L, D, 3, 3)
+        # symmetry expansion: R_s^{-1} @ R  (weights NOT divided —
+        # SYMMETRIZE_FT sums the rotated copies)
+        rot_s = jnp.einsum("sji,ldjk->lsdik", sym_mats, rot)
+        vals_s = jnp.broadcast_to(vals[:, None],
+                                  (n_img, n_sym) + vals.shape[1:])
+        c2w_s = jnp.broadcast_to(ctf2w[:, None],
+                                 (n_img, n_sym) + ctf2w.shape[1:])
+        wl_s = jnp.repeat(wl, n_draw * n_sym, axis=1)   # (K, L*S*D)
+        return (vals_s.reshape(-1, nk, nk), c2w_s.reshape(-1, nk, nk),
+                rot_s.reshape(-1, 3, 3), wl_s)
+
+    return jax.vmap(one)(ft_ori, ctf_params, quats, trans, d_draw,
+                         w_l_all)
+
+
 @partial(jax.jit, static_argnames=("mode", "fold_sym"))
 def _finish_phases(par: pt.ParticleState, sym_quats, mode: int,
                    fold_sym: bool):
@@ -1675,6 +1725,20 @@ class Optimiser:
         # insertion (Optimiser::reconstructRef's per-class loop)
         w_l_all = ((s.cls[:, None, :] == jnp.arange(cfg.k)[None, :, None])
                    .astype(jnp.float32) * (w_img * w_draw)[:, None, :])
+        if self._vol_sharded(grid_size):
+            # big-box path: dense slices (pose-side symmetrisation) into
+            # z-slab-sharded F/T — no full padded grid on any device
+            from thunder_tpu.recon.sharded import insert_sweep_3d_sharded
+
+            vals, c2w, rot_e, w_cls = _dense_slices_h(
+                self.data.ft_ori, self.data.ctf_params, quats, trans,
+                d_draw, w_l_all, self.sym.matrices, cfg.size, cfg.pf,
+                float(cfg.pixel_size), use_d, r_u, self.sym.order,
+            )
+            with self.mesh:
+                return (*insert_sweep_3d_sharded(
+                    self.mesh, vals, c2w, rot_e, w_cls,
+                    grid_size * cfg.pf, cfg.pf), r_u, grid_size)
         f2, t2 = _insert_all_h(
             self.data.ft_ori, self.data.ctf_params, rings.mask,
             rings.i_col, rings.i_row, quats, trans, d_draw, w_l_all,
@@ -1684,25 +1748,31 @@ class Optimiser:
         )
         return f2, t2, r_u, grid_size
 
-    def _reconstruct_refs(self, f2, t2, fsc_all, grid_size: int, r_u: int,
-                          map_wiener: bool, join_half: bool,
-                          grid_corr: bool):
-        """Route reconstruction to the volume-sharded path when the
-        padded grids are big and a mesh is available (SURVEY §5's
+    def _vol_sharded(self, grid_size: int) -> bool:
+        """True when the padded grids for this reconstruction should be
+        z-slab-sharded over the mesh's data axis (SURVEY §5's
         context-parallel axis; the reference instead held whole volumes
         per rank, README.md:58-59)."""
         cfg = self.cfg
         big = grid_size * cfg.pf
-        grid_mb = big ** 3 * 8 // 2 ** 20
         mesh = self.mesh
-        if (mesh is not None and not cfg.mode_2d
+        return (mesh is not None and not cfg.mode_2d
                 and cfg.reco_kernel != "mkb"
                 and "hemi" in mesh.axis_names and "data" in mesh.axis_names
                 and mesh.shape["hemi"] == 2
                 and mesh.shape["data"] > 1
                 and mesh.shape["data"] % 2 == 0
                 and big % mesh.shape["data"] == 0
-                and grid_mb >= cfg.vol_shard_min_mb):
+                and big ** 3 * 8 // 2 ** 20 >= cfg.vol_shard_min_mb)
+
+    def _reconstruct_refs(self, f2, t2, fsc_all, grid_size: int, r_u: int,
+                          map_wiener: bool, join_half: bool,
+                          grid_corr: bool):
+        """Route reconstruction to the volume-sharded path when the
+        padded grids are big and a mesh is available."""
+        cfg = self.cfg
+        mesh = self.mesh
+        if self._vol_sharded(grid_size):
             from thunder_tpu.recon.sharded import (
                 reconstruct_all_sharded,
                 sharded_grid_specs,

@@ -253,6 +253,134 @@ def reconstruct_all_sharded(mesh, f2, t2, fsc_all, grid_size: int, pf: int,
     return vol
 
 
+def insert_sweep_3d_sharded(mesh, vals, ctf2w, rot, w_cls, big: int,
+                            pf: int, chunk: int = 64):
+    """Volume-sharded shear-sweep insertion: F/T accumulate directly as
+    z-slabs over the mesh's data axis — no device ever materialises a
+    full padded grid (the missing half of the big-box story next to
+    reconstruct_all_sharded).
+
+    Images are data-sharded; each device runs the in-plane passes for
+    its local images, all_gathers the small per-chunk S1 rasters, and
+    sweeps only its own slab of each case accumulator (the canonical
+    axis that maps to physical z: 'a' for the z-case, 'm' for the x/y
+    cases — so all three transpose into one z-sharded volume without a
+    reshard).
+
+    vals : (2, B, NK, NK) complex64 sharded P("hemi", "data");
+    ctf2w: (2, B, NK, NK) f32; rot (2, B, 3, 3); w_cls (2, K, B).
+    Returns f (2, K, big, big, big) c64 and t (...) f32, z-sharded
+    P("hemi", None, "data").  Symmetrisation is the caller's job
+    (pose-side: insert at R_s^-1-rotated poses).
+    """
+    from jax import shard_map
+
+    from thunder_tpu.ops.insert import (
+        _Z_KERNEL_WIDTH,
+        _hat,
+        _sweep_coeffs,
+        _sweep_s1,
+    )
+
+    d = mesh.shape["data"]
+    n_b = vals.shape[1]
+    n_cls = w_cls.shape[1]
+    ch = 3 * n_cls
+    nk = vals.shape[-1]
+    assert big % d == 0
+    bz = big // d
+
+    # pad B so every device scans the same chunk count
+    pad = (-n_b) % (d * chunk)
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        ctf2w = jnp.pad(ctf2w, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        rot = jnp.pad(rot, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        rot = rot.at[:, n_b:].set(jnp.eye(3))
+        w_cls = jnp.pad(w_cls, ((0, 0), (0, 0), (0, pad)))
+
+    c = big // 2
+    hh = jnp.arange(nk, dtype=jnp.float32) - nk // 2
+    gg = jnp.arange(big, dtype=jnp.float32) - c
+
+    def body(vals_l, ctf2w_l, rot_l, w_cls_l):
+        # local blocks: (1, B/d, nk, nk) etc.
+        v = vals_l[0]
+        cw = ctf2w_l[0]
+        ro = rot_l[0]
+        wc = w_cls_l[0]
+        n_loc = v.shape[0]
+        n_chunks = max(1, n_loc // chunk)
+        coeffs = _sweep_coeffs(ro, pf)
+
+        j = jax.lax.axis_index("data")
+        gg_a = (j * bz + jnp.arange(bz, dtype=jnp.float32)) - c
+
+        def r(x):
+            return x.reshape((n_chunks, n_loc // n_chunks) + x.shape[1:])
+
+        def chunk_step(acc, inp):
+            v_c, cw_c, wc_c, co = inp
+            s1, alc2, bec2, case_c = _sweep_s1(
+                v_c, cw_c, wc_c, co, ch, v_c.shape[0], nk, hh, gg)
+            # gather the small rasters + height coefficients from the
+            # whole data group: every device sweeps ALL images into its
+            # own slab
+            s1 = jax.lax.all_gather(s1, "data", axis=0, tiled=True)
+            alc2 = jax.lax.all_gather(alc2, "data", axis=0, tiled=True)
+            bec2 = jax.lax.all_gather(bec2, "data", axis=0, tiled=True)
+            case_c = jax.lax.all_gather(case_c, "data", axis=0, tiled=True)
+
+            zeta = (alc2[:, None, None] * gg[None, None, :]
+                    + bec2[:, None, None] * gg[None, :, None])
+            zw = _Z_KERNEL_WIDTH
+            new_acc = []
+            # case z: the height axis IS the sharded axis
+            wz = _hat((gg_a[None, :, None, None] - zeta[:, None]) / zw) / zw
+            new_acc.append(acc[0] + jnp.einsum(
+                "baml,bcml->caml",
+                wz * case_c[:, 2, None, None, None], s1))
+            # cases y and x: the canonical m axis is the sharded one
+            m_lo = j * bz
+            s1_m = jax.lax.dynamic_slice_in_dim(s1, m_lo, bz, axis=2)
+            zeta_m = (alc2[:, None, None] * gg[None, None, :]
+                      + bec2[:, None, None] * gg_a[None, :, None])
+            wz_m = _hat((gg[None, :, None, None]
+                         - zeta_m[:, None]) / zw) / zw
+            for idx, ci in ((1, 1), (2, 0)):
+                new_acc.append(acc[idx] + jnp.einsum(
+                    "baml,bcml->caml",
+                    wz_m * case_c[:, ci, None, None, None], s1_m))
+            return tuple(new_acc), 0.0
+
+        vary = lambda x: jax.lax.pcast(x, ("hemi", "data"), to="varying")
+        acc0 = (vary(jnp.zeros((ch, bz, big, big), jnp.float32)),
+                vary(jnp.zeros((ch, big, bz, big), jnp.float32)),
+                vary(jnp.zeros((ch, big, bz, big), jnp.float32)))
+        acc, _ = jax.lax.scan(
+            chunk_step, acc0,
+            (r(v), r(cw), r(wc.T), jax.tree.map(r, coeffs)))
+
+        # canonical -> physical (z-slab, y, x); same permutations as the
+        # unsharded inserter, with the slab in the same axis positions
+        vv = (acc[0]
+              + jnp.transpose(acc[1], (0, 2, 1, 3))
+              + jnp.transpose(acc[2], (0, 2, 3, 1)))
+        vv = vv.reshape(n_cls, 3, bz, big, big)
+        f = jax.lax.complex(vv[:, 0], vv[:, 1])
+        return f[None], vv[None, :, 2]
+
+    spec_img = P("hemi", "data", None, None)
+    spec_rot = P("hemi", "data", None, None)
+    spec_w = P("hemi", None, "data")
+    spec_out = P("hemi", None, "data", None, None)
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_img, spec_img, spec_rot, spec_w),
+        out_specs=(spec_out, spec_out),
+    )(vals, ctf2w, rot, w_cls)
+
+
 def sharded_grid_specs(mesh):
     """NamedSharding for the (2, K, big, big, big) F/T grids."""
     from jax.sharding import NamedSharding
