@@ -17,6 +17,8 @@
 
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
+#include <unistd.h>
 #include <cmath>
 #include <vector>
 #include <string>
@@ -24,6 +26,7 @@
 #include "Projector.h"
 #include "Reconstructor.h"
 #include "CTF.h"
+#include "Postprocess.h"
 #include "FFT.h"
 #include "Functions/Spectrum.h"
 #include "Functions/Functions.h"
@@ -227,6 +230,50 @@ int main(int argc, char* argv[])
             for (int c = 0; c < 4; c++) rots.push_back((float) qv(c));
         }
         dumpF32("recon_32_quats", rots.data(), rots.size());
+    }
+
+    /* ---- postprocess golden (Postprocess.cpp:50-183) --------------- */
+    {
+        const int NP = 48;
+        Volume a(NP, NP, NP, RL_SPACE);
+        Volume b(NP, NP, NP, RL_SPACE);
+        Volume msk(NP, NP, NP, RL_SPACE);
+        for (int k = -NP / 2; k < NP / 2; k++)
+            for (int j = -NP / 2; j < NP / 2; j++)
+                for (int i = -NP / 2; i < NP / 2; i++) {
+                    double sig = phantomVal(i * 0.7, j * 0.7, k * 0.7);
+                    /* deterministic pseudo-noise, reproducible in the
+                     * python test */
+                    double na = 0.05 * sin(12.9898 * i + 78.233 * j
+                                           + 37.719 * k);
+                    double nb = 0.05 * sin(26.651 * i + 14.313 * j
+                                           + 95.173 * k);
+                    a.setRL((RFLOAT) (sig + na), i, j, k);
+                    b.setRL((RFLOAT) (sig + nb), i, j, k);
+                    double r = sqrt((double) (i * i + j * j + k * k));
+                    double w = r < 16 ? 1.0
+                             : (r < 20 ? 0.5 + 0.5 * cos((r - 16) / 4 * M_PI)
+                                       : 0.0);
+                    msk.setRL((RFLOAT) w, i, j, k);
+                }
+        std::string pdir = g_dir + "/postprocess";
+        (void) !system(("mkdir -p " + pdir).c_str());
+        ImageFile imf;
+        imf.readMetaData(a);
+        imf.writeVolume((pdir + "/half_a.mrc").c_str(), a, 1.32);
+        imf.readMetaData(b);
+        imf.writeVolume((pdir + "/half_b.mrc").c_str(), b, 1.32);
+        imf.readMetaData(msk);
+        imf.writeVolume((pdir + "/mask.mrc").c_str(), msk, 1.32);
+
+        /* Postprocess writes its artifacts into the CWD */
+        char cwd0[4096];
+        (void) !getcwd(cwd0, sizeof(cwd0));
+        (void) !chdir(pdir.c_str());
+        Postprocess pp("half_a.mrc", "half_b.mrc", "mask.mrc", 1.32);
+        pp.run(nt);
+        (void) !chdir(cwd0);
+        printf("dump postprocess dir\n");
     }
 
     printf("goldens done\n");
