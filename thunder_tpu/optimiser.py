@@ -1395,9 +1395,13 @@ class Optimiser:
         if refs is not None:
             return _prepare_projectee_stack_h(refs, cfg.size, cfg.pf,
                                               cfg.mode_2d, crop)
-        hit = self._proj_stack_cache.get(crop)
-        if hit is not None and hit[0] is self.state.refs:
-            return hit[1]
+        # any cached table whose crop covers the requested radius works:
+        # the gather derives the grid size from the table shape, so a
+        # bigger table is just a bigger source (run_round primes one
+        # table at the round's max radius and every stage reuses it)
+        for c_have, (refs_obj, stack) in self._proj_stack_cache.items():
+            if refs_obj is self.state.refs and c_have >= crop:
+                return stack
         stack = _prepare_projectee_stack_h(self.state.refs, cfg.size,
                                            cfg.pf, cfg.mode_2d, crop)
         # holding the refs object in the cache keeps it alive (identity
@@ -1523,12 +1527,15 @@ class Optimiser:
     def refresh_sigma(self):
         cfg = self.cfg
         s = self.state
-        # the references carry signal only below the reconstruction
-        # radius (reconstruct caps at max_radius = r_u): project shells
-        # below it (reusing the search-crop projectee table), and feed
-        # plain data power above it (allReduceSigma with
-        # OPTIMISER_SIGMA_WHOLE_FREQUENCY, Optimiser.cpp:6397)
-        r_lo = min(int(self.model.r) + 3, cfg.max_r)
+        # the references carry signal only up to the PREVIOUS round's
+        # reconstruction radius (~ the current search radius r):
+        # project shells below r (reusing the round's shared projection
+        # table) and feed plain data power above — the reference's
+        # whole-frequency sigma (OPTIMISER_SIGMA_WHOLE_FREQUENCY,
+        # Optimiser.cpp:6397) also reduces to data power wherever the
+        # reference is empty, and shells >= r don't enter this round's
+        # likelihood
+        r_lo = min(int(self.model.r), cfg.max_r)
         rings = pack_rings(cfg.size, r_lo, 0)
         rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo)
         proj_stack = self._proj_stack(rings)
@@ -1875,6 +1882,12 @@ class Optimiser:
         rings = self._rings()
         record = dict(round=i_round, r=int(self.model.r),
                       search_type=int(self.model.search_type))
+
+        # prime ONE projection table at the round's gather radius r;
+        # every stage this round — phases, norm correction (r_norm <=
+        # r), sigma (projected band capped at r) — reuses it (a
+        # per-stage rebuild costs seconds at big boxes)
+        self._proj_stack(rings)
 
         # expectation (skipE honored as in run, Optimiser.cpp:3630)
         if i_round == 0 or not cfg.skip_e:
