@@ -137,8 +137,10 @@ def test_sharded_insertion_matches_unsharded_sweep():
         np.testing.assert_allclose(np.asarray(t_s[h]),
                                    np.asarray(ref[h][1]),
                                    rtol=1e-4, atol=1e-5)
-        np.testing.assert_allclose(np.abs(np.asarray(f_s[h])),
-                                   np.abs(np.asarray(ref[h][0])),
+        # complex values compared directly (not |.|): a conjugation or
+        # sign error in the sharded F grid must fail this gate
+        np.testing.assert_allclose(np.asarray(f_s[h]),
+                                   np.asarray(ref[h][0]),
                                    rtol=1e-4, atol=1e-5)
 
 

@@ -51,7 +51,12 @@ class ThunderConfig:
     # insertion kernel: "trilinear" (the reference's default,
     # RECONSTRUCTOR_TRILINEAR_KERNEL, Config.h:97) takes the fast
     # shear-sweep path; "mkb" uses the modified Kaiser-Bessel blob
-    # option (Reconstructor.cpp:424-567) via the scatter path
+    # option (Reconstructor.cpp:424-567) via the scatter path.
+    # NOTE: the sweep's effective kernel uses a width-2 hat along the
+    # slice-height axis (ops/insert.py), slightly wider than the
+    # reference's exact trilinear scatter; it is T-consistent and
+    # FSC-golden-tested, but for kernel-exact comparison against
+    # reference maps use reco_kernel="mkb" (the scatter path)
     reco_kernel: str = "trilinear"
     m_s: int = 10000                    # global sampling points (3D)
     m_s_2d: int = 100                   # global sampling points (2D)

@@ -42,9 +42,15 @@ def load_images(thu: ThuTable, prefix: str = "",
         slices = [s for _, s in entries]
         if path.lower().endswith(".bmp"):
             # 8-bit BMP single images (ImageFile.cpp:122-130: iSlc must
-            # be 0 for BMP)
+            # be 0 for BMP — a .thu addressing other slices of one BMP
+            # would silently train on duplicated data)
             from thunder_tpu.io.bmp import read_bmp
 
+            bad = [s for s in slices if s != 0]
+            if bad:
+                raise ValueError(
+                    f"BMP stacks have a single image; {path} addressed "
+                    f"with non-zero slice indices {bad[:5]}")
             img = read_bmp(path)
             imgs = [img for _ in slices]
         elif use_native:

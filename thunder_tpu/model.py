@@ -194,42 +194,6 @@ class ModelState:
         return 1.0 / spectrum.res_p2a(p, self.size, self.pixel_size)
 
 
-def compare_hemispheres(ref_a: np.ndarray, ref_b: np.ndarray,
-                        n_shells: int, avg_thres: float = 0.95,
-                        pf: int = 1):
-    """Host-side golden-standard comparison (Model::compareTwoHemispheres,
-    Model.cpp:307-851, plain-FSC branch).
-
-    ref_a/ref_b: per-class centered Fourier spectra, (K, ...) complex.
-    Returns (fsc (K, n_shells), averaged booleans per class, merged refs
-    where FSC supports averaging below the 0.95-threshold shell).
-    """
-    import jax.numpy as jnp
-    from thunder_tpu.physics.spectrum import fsc as fsc_fn
-
-    k = ref_a.shape[0]
-    fsc_all = np.zeros((k, n_shells), dtype=np.float64)
-    a_out = np.array(ref_a)
-    b_out = np.array(ref_b)
-    for t in range(k):
-        curve = np.asarray(fsc_fn(jnp.asarray(ref_a[t]), jnp.asarray(ref_b[t]), n_shells))
-        fsc_all[t] = curve
-        # average halves below the resolution where FSC > avg_thres
-        r_avg = spectrum.res_p(curve, avg_thres, pf=1, r_l=1)
-        if r_avg > 1:
-            u_idx = _shell_index_cached(ref_a[t].shape[-1], ref_a[t].ndim)
-            sel = u_idx <= r_avg
-            avg = (ref_a[t] + ref_b[t]) / 2
-            a_out[t] = np.where(sel, avg, ref_a[t])
-            b_out[t] = np.where(sel, avg, ref_b[t])
-    return fsc_all, a_out, b_out
-
-
-def _shell_index_cached(size: int, ndim: int) -> np.ndarray:
-    from thunder_tpu.physics.spectrum import _shell_geometry
-
-    u, _ = _shell_geometry(size, ndim)
-    return np.asarray(u)
 
 
 def true_fsc(ref_a, ref_b, mask, n_shells: int, key) -> np.ndarray:

@@ -35,8 +35,6 @@ and the scatter-free shear-sweep insertion (ops/insert.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
@@ -68,66 +66,6 @@ def log_dvp_block(dat_w: jax.Array, sctf2: jax.Array, pri: jax.Array,
     x_ri = _split_ri(x)                                       # (l, n, 2p)
     c = -2.0 * jnp.einsum("lnq,mq->lmn", x_ri, pri_ri, precision=_PREC)
     return a_term[:, None, None] + b[:, :, None] + c
-
-
-class PoseWeightState(NamedTuple):
-    """Streaming softmax state over the global pose grid."""
-
-    baseline: jax.Array  # (l,) running max of dvp
-    w_c: jax.Array       # (l, k) class marginals
-    w_r: jax.Array       # (k, l, m_total) rotation marginals
-    w_t: jax.Array       # (k, l, n) translation marginals
-
-
-def init_pose_state(n_img: int, n_class: int, n_rot: int, n_trans: int) -> PoseWeightState:
-    return PoseWeightState(
-        baseline=jnp.full((n_img,), -jnp.inf, dtype=jnp.float32),
-        w_c=jnp.zeros((n_img, n_class), dtype=jnp.float32),
-        w_r=jnp.zeros((n_class, n_img, n_rot), dtype=jnp.float32),
-        w_t=jnp.zeros((n_class, n_img, n_trans), dtype=jnp.float32),
-    )
-
-
-def update_pose_state(state: PoseWeightState, dvp: jax.Array, i_class: int,
-                      m_off: int, prior_w_r: jax.Array, prior_w_t: jax.Array,
-                      m_block: int) -> PoseWeightState:
-    """Fold one rotation block of one class into the streaming marginals.
-
-    dvp: (l, mb, n); prior_w_r: (l, m_total) support-point prior weights
-    (the particle filter's wR), prior_w_t: (l, n).  Marginal updates
-    follow Optimiser.cpp:873-881:
-        wC[l,t]  += w * wR_prior[m] * wT_prior[n]
-        wR[t][l,m] += w * wT_prior[n]
-        wT[t][l,n] += w * wR_prior[m]
-    with w = exp(dvp - baseline) and baseline rescaling on overflow.
-    """
-    blk_max = jnp.max(dvp, axis=(1, 2))                       # (l,)
-    new_base = jnp.maximum(state.baseline, blk_max)
-    scale = jnp.exp(state.baseline - new_base)                # <= 1
-    scale = jnp.where(jnp.isfinite(scale), scale, 0.0)
-
-    w = jnp.exp(dvp - new_base[:, None, None])                # (l, mb, n)
-    pw_r = jax.lax.dynamic_slice_in_dim(prior_w_r, m_off, m_block, axis=1)
-
-    d_wc = jnp.einsum("lmn,lm,ln->l", w, pw_r, prior_w_t)
-    d_wr = jnp.einsum("lmn,ln->lm", w, prior_w_t)
-    d_wt = jnp.einsum("lmn,lm->ln", w, pw_r)
-
-    w_c = state.w_c * scale[:, None]
-    w_r = state.w_r * scale[None, :, None]
-    w_t = state.w_t * scale[None, :, None]
-
-    w_c = w_c.at[:, i_class].add(d_wc)
-    w_r = w_r.at[i_class].set(
-        jax.lax.dynamic_update_slice_in_dim(
-            w_r[i_class],
-            jax.lax.dynamic_slice_in_dim(w_r[i_class], m_off, m_block, axis=1) + d_wr,
-            m_off,
-            axis=1,
-        )
-    )
-    w_t = w_t.at[i_class].add(d_wt)
-    return PoseWeightState(new_base, w_c, w_r, w_t)
 
 
 def log_dvp_local(dat_w: jax.Array, sctf2: jax.Array, pri: jax.Array,

@@ -564,7 +564,7 @@ def _phase_loop_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col,
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r", "n_group"))
 def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
                 top_r, top_t, dat_hi, mask_hi, i_sig_hi,
-                group_id, sigma_prev, r_u,
+                group_id, valid, sigma_prev, r_u,
                 size: int, pf: int, mode_2d: bool, max_r: int, n_group: int):
     """Rank-1 residual noise spectra over ALL shells (allReduceSigma,
     group mode; OPTIMISER_SIGMA_WHOLE_FREQUENCY default, Config.h:196).
@@ -573,7 +573,11 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
     reference; shells above it use the plain data power — the
     references are Wiener-reconstructed only to that radius, so the
     projection there is zero by construction (and the projectee table
-    stays at the search crop instead of the full padded box)."""
+    stays at the search crop instead of the full padded box).
+
+    ``valid`` (L,) masks the cyclic hemisphere-padding duplicates out of
+    the group spectra — the reference's sums run over real particles
+    only (Optimiser.cpp:6397-6709)."""
     rings = _RingsView(i_col, i_row, size)
     if mode_2d:
         rot = rotate2d_from_unit(top_r[..., :2])
@@ -583,8 +587,8 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
                           mode_2d)[:, 0]
     tra = translate_phases_view(i_col, i_row, size, top_t[:, None])[:, 0]
     resid = dat - ctf * tra * pri
-    power = jnp.abs(resid) ** 2 * mask
-    power_hi = jnp.abs(dat_hi) ** 2 * mask_hi
+    power = jnp.abs(resid) ** 2 * (mask * valid[:, None])
+    power_hi = jnp.abs(dat_hi) ** 2 * (mask_hi * valid[:, None])
 
     shell = jnp.minimum(i_sig, max_r)
     shell_hi = jnp.minimum(i_sig_hi, max_r)
@@ -592,12 +596,12 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
     cnt_sum = jnp.zeros((n_group, max_r + 1), jnp.float32)
     sig_sum = sig_sum.at[group_id[:, None], shell[None, :]].add(power / 2)
     cnt_sum = cnt_sum.at[group_id[:, None], shell[None, :]].add(
-        jnp.broadcast_to(mask, power.shape)
+        jnp.broadcast_to(mask * valid[:, None], power.shape)
     )
     sig_sum = sig_sum.at[group_id[:, None], shell_hi[None, :]].add(
         power_hi / 2)
     cnt_sum = cnt_sum.at[group_id[:, None], shell_hi[None, :]].add(
-        jnp.broadcast_to(mask_hi, power_hi.shape)
+        jnp.broadcast_to(mask_hi * valid[:, None], power_hi.shape)
     )
     sigma = sig_sum[:, :max_r] / jnp.maximum(cnt_sum[:, :max_r], 1.0)
     valid = jnp.arange(max_r) < r_u
@@ -930,22 +934,23 @@ def _finish_phases_h(par, sym_quats, mode: int, fold_sym: bool):
                                    "n_group", "pixel_size"))
 def _sigma_step_h(ft_ori, ctf_params, mask, i_col, i_row, i_sig,
                   hi_col, hi_row, hi_sig, hi_mask,
-                  proj_stack, cls, top_r, top_t, group_id, sigma_prev, r_u,
+                  proj_stack, cls, top_r, top_t, group_id, valid,
+                  sigma_prev, r_u,
                   size: int, pf: int, mode_2d: bool, max_r: int,
                   n_group: int, pixel_size: float):
     c = size // 2
 
-    def one(ft, cp, ps, cl, tr, tt, gi, sp):
+    def one(ft, cp, ps, cl, tr, tt, gi, va, sp):
         dat = ft[..., c + i_row, c + i_col]
         dat_hi = ft[..., c + hi_row, c + hi_col]
         ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
         return _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, ps, cl,
                            tr, tt, dat_hi, hi_mask, hi_sig,
-                           gi, sp, r_u, size, pf, mode_2d,
+                           gi, va, sp, r_u, size, pf, mode_2d,
                            max_r, n_group)
 
     return jax.vmap(one)(ft_ori, ctf_params, proj_stack, cls, top_r,
-                         top_t, group_id, sigma_prev)
+                         top_t, group_id, valid, sigma_prev)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "pixel_size"))
@@ -1184,6 +1189,15 @@ class StackedState:
     par: pt.ParticleState      # fields (2, L, ...)
     cls: jax.Array             # (2, L)
     w_c: np.ndarray | None = None
+    refs_version: int = 0      # bumped on every refs rebind (cache key)
+
+    def __setattr__(self, name, value):
+        # every functional update rebinds `refs`; the version counter
+        # keys the projection-table cache so a stale table can never
+        # outlive the references it was built from
+        if name == "refs" and "refs" in self.__dict__:
+            object.__setattr__(self, "refs_version", self.refs_version + 1)
+        object.__setattr__(self, name, value)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -1389,7 +1403,7 @@ class Optimiser:
         corner-row packing) costs a large fraction of a round at big
         boxes, and several stages per round need the same table
         (refreshProj builds once per round in the reference,
-        Model.cpp:1013) — so cache per (refs identity, crop)."""
+        Model.cpp:1013) — so cache per (refs version, crop)."""
         cfg = self.cfg
         crop = _proj_crop_size(cfg.size, cfg.pf, rings.r_u)
         if refs is not None:
@@ -1399,18 +1413,17 @@ class Optimiser:
         # the gather derives the grid size from the table shape, so a
         # bigger table is just a bigger source (run_round primes one
         # table at the round's max radius and every stage reuses it)
-        for c_have, (refs_obj, stack) in self._proj_stack_cache.items():
-            if refs_obj is self.state.refs and c_have >= crop:
+        ver = self.state.refs_version
+        for c_have, (ver_have, stack) in self._proj_stack_cache.items():
+            if ver_have == ver and c_have >= crop:
                 return stack
         stack = _prepare_projectee_stack_h(self.state.refs, cfg.size,
                                            cfg.pf, cfg.mode_2d, crop)
-        # holding the refs object in the cache keeps it alive (identity
-        # check stays valid); drop entries from older reference versions
+        # drop entries from older reference versions
         self._proj_stack_cache = {
-            c: v for c, v in self._proj_stack_cache.items()
-            if v[0] is self.state.refs
+            c: v for c, v in self._proj_stack_cache.items() if v[0] == ver
         }
-        self._proj_stack_cache[crop] = (self.state.refs, stack)
+        self._proj_stack_cache[crop] = (ver, stack)
         return stack
 
     # -- global search --------------------------------------------------
@@ -1527,15 +1540,16 @@ class Optimiser:
     def refresh_sigma(self):
         cfg = self.cfg
         s = self.state
-        # the references carry signal only up to the PREVIOUS round's
-        # reconstruction radius (~ the current search radius r):
-        # project shells below r (reusing the round's shared projection
-        # table) and feed plain data power above — the reference's
-        # whole-frequency sigma (OPTIMISER_SIGMA_WHOLE_FREQUENCY,
-        # Optimiser.cpp:6397) also reduces to data power wherever the
-        # reference is empty, and shells >= r don't enter this round's
-        # likelihood
-        r_lo = min(int(self.model.r), cfg.max_r)
+        # the references carry signal up to the PREVIOUS round's
+        # reconstruction radius r_u = r+3 (capped at max_r, see
+        # reconstruct_round): project shells below that radius and feed
+        # plain data power above — the reference's whole-frequency sigma
+        # (OPTIMISER_SIGMA_WHOLE_FREQUENCY, Optimiser.cpp:6397) also
+        # reduces to data power wherever the reference is empty.
+        # Projecting to r (not r+3) counted real signal in the r..r+3
+        # band as noise — exactly the shells that activate when the
+        # search radius grows next round.
+        r_lo = min(int(self.model.r) + 3, cfg.max_r)
         rings = pack_rings(cfg.size, r_lo, 0)
         rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo)
         proj_stack = self._proj_stack(rings)
@@ -1545,8 +1559,9 @@ class Optimiser:
             rings_hi.i_col, rings_hi.i_row, rings_hi.i_sig, rings_hi.mask,
             proj_stack, s.cls,
             s.par.top_r, s.par.top_t - self.offset, self.data.group_id,
-            s.sigma, jnp.asarray(cfg.max_r), cfg.size, cfg.pf,
-            cfg.mode_2d, cfg.max_r, self.n_group, float(cfg.pixel_size),
+            self.valid_dev, s.sigma, jnp.asarray(cfg.max_r), cfg.size,
+            cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
+            float(cfg.pixel_size),
         )
 
     def solvent_flatten(self, apply_mask: bool):
@@ -1883,13 +1898,16 @@ class Optimiser:
         record = dict(round=i_round, r=int(self.model.r),
                       search_type=int(self.model.search_type))
 
-        # prime ONE projection table at the round's gather radius r;
-        # every stage this round — phases, norm correction (r_norm <=
-        # r), sigma (projected band capped at r) — reuses it (a
-        # per-stage rebuild costs seconds at big boxes)
-        self._proj_stack(rings)
+        # prime ONE projection table at the round's max gather radius —
+        # sigma's projected band min(r+3, max_r) — so every stage this
+        # round (phases at r, norm correction at r_norm <= r, sigma)
+        # reuses it (a per-stage rebuild costs seconds at big boxes)
+        self._proj_stack(pack_rings(cfg.size,
+                                    min(int(self.model.r) + 3, cfg.max_r),
+                                    0))
 
         # expectation (skipE honored as in run, Optimiser.cpp:3630)
+        prev_top_r = self.state.par.top_r
         if i_round == 0 or not cfg.skip_e:
             if self.model.search_type == SEARCH_TYPE_GLOBAL and cfg.g_search:
                 g = self.expectation_global(rings)
@@ -1897,6 +1915,14 @@ class Optimiser:
             record["n_phases"] = self.local_phases(rings)
         else:
             record["n_phases"] = [0, 0]
+
+        # per-round rotation-stability statistic (refreshRotationChange,
+        # Optimiser.cpp:3767 + Particle::diffTopR): median angular change
+        # of the rank-1 rotation, the metric a practitioner watches
+        dot = np.abs(np.asarray(
+            jnp.sum(prev_top_r * self.state.par.top_r, axis=-1)))[self.valid]
+        record["rot_change_median_deg"] = float(
+            np.degrees(2.0 * np.arccos(np.clip(np.median(dot), -1.0, 1.0))))
 
         # translation-variance statistic over all particles: MEDIAN, as
         # the reference's stat_MAS (refreshVariance, Optimiser.cpp:5740;
