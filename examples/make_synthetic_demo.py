@@ -115,8 +115,12 @@ def main():
     write_thu(os.path.join(a.outdir, "particles.thu"), t)
     np.save(os.path.join(a.outdir, "truth.npy"), truth)
 
+    # the FULL reference key set (appsrc/thunder.cpp:119-218 errors hard
+    # on any missing key), so the same config drives both this framework
+    # and the reference binary for E2E parity runs
     config = {
         "Basic": {
+            "Number of Threads Per Process": os.cpu_count() or 4,
             "2D or 3D Mode": a.mode,
             "Global Search": True,
             "Local Search": True,
@@ -135,18 +139,56 @@ def main():
                 os.path.join(a.outdir, "particles.thu"),
             "Path of Particles": a.outdir + "/",
             "Path of Output": os.path.join(a.outdir, "output") + "/",
+            "Prefix of Output": "",
+            "Calculate FSC Using Core Region": False,
+            "Calculate FSC Using Masked Region": False,
+            "Particle Grading": False,
+            "Auto-Recentre Reference": True,
+        },
+        "Reference Mask": {
+            "Perform Reference Mask": False,
+            "Perform Reference Mask During Global Search": False,
+            "Provided Mask": "",
+        },
+        "Subtract": {
+            "Subtract Masked Region Reference From Images": False,
+            "Region Need to Be Centred": "",
         },
         "Advanced": {
             "Max Number of Iteration": 20,
+            "Using Golden Standard FSC": True,
+            "Padding Factor": 2,
+            "MKB Kernel Radius": 1.9,
+            "MKB Kernel Smooth Factor": 15.0,
             "Number of Sampling Points for Scanning in Global Search (2D)": 100,
             "Number of Sampling Points for Scanning in Global Search (3D)": 4096,
             "Number of Sampling Points of Rotation in Local Search (2D)": 9,
             "Number of Sampling Points of Rotation in Local Search (3D)": 64,
             "Number of Sampling Points of Translation in Local Search": 9,
+            "Number of Sampling Points of Defocus in Local Search": 9,
             "Number of Sampling Points Used in Reconstruction": 50,
             "Ignore Signal Under (Angstrom)": size * 1.32,
+            "Correct Intensity Scale Using Signal Under (Angstrom)": 40.0,
+            "FSC Threshold for Cutoff Frequency": 0.143,
+            "FSC Threshold for Reporting Resolution": 0.143,
+            "FSC Threshold for Scale Correction": 0.75,
+            "Grouping when Calculating Sigma": True,
+            "Grouping when Correcting Intensity Scale": False,
+            "Mask Images with Zero Noise": True,
+            "CTF Refine Standard Deviation": 0.01,
+            "Save Reference(s) Each Iteration": True,
+            "Save .thu File Each Iteration": True,
         },
-        "Professional": {"Translation Search Factor": 0.25},
+        "Professional": {
+            "Translation Search Factor": 0.25,
+            "Perturbation Factor (Large)": 0.8,
+            "Perturbation Factor (Small, Global)": 0.8,
+            "Perturbation Factor (Small, Local)": 0.8,
+            "Perturbation Factor (Small, CTF)": 0.8,
+            "Skip Expectation": False,
+            "Skip Maximization": False,
+            "Skip Reconstruction": False,
+        },
     }
     with open(os.path.join(a.outdir, "demo.json"), "w") as f:
         json.dump(config, f, indent=2)

@@ -51,9 +51,9 @@ def timeit(f, mk_args, n=4):
 S = 1 << 20  # 1M gathered rows
 
 
-def row_width_sweep():
+def row_width_sweep(widths=(8, 16, 32, 64)):
     print("== row width sweep (table 64 MB, uint32 rows) ==")
-    for w in (4, 8, 16, 32, 64):
+    for w in widths:
         n_rows = 64 * 2**20 // (4 * w)
         tab = jax.random.randint(
             jax.random.PRNGKey(0), (n_rows, w), 0, 1 << 30, jnp.uint32)
@@ -119,8 +119,12 @@ def halfspace_overhead():
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which.startswith("w") and which[1:].isdigit():
+        row_width_sweep(widths=(int(which[1:]),))
     if which in ("all", "width"):
         row_width_sweep()
+    if which.startswith("w") and which[1:].isdigit():
+        row_width_sweep(widths=(int(which[1:]),))
     if which in ("all", "size"):
         table_size_sweep()
     if which in ("all", "half"):

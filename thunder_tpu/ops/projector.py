@@ -272,6 +272,85 @@ def oct_pack(packed: jax.Array, mode_2d: bool) -> jax.Array:
     return rows
 
 
+def oct_pack_half(packed: jax.Array, mode_2d: bool) -> jax.Array:
+    """Hermitian half-space corner-row tables: kx >= 0 only.
+
+    The reference stores only the r2c half-space and folds the
+    conjugate on access (Image.h:111, Volume.h:393-480 getFTHalf); the
+    TPU analogue keeps the branch-free corner-row gather but halves
+    table bytes: only x-planes kx in [0, c) are stored, and the gather
+    folds (x,y,z) -> (-x,-y,-z) with a sign flip on im for kx < 0
+    samples (see _fold_half).  Returns (K, big, [big,] c, 4|8) uint32,
+    where c = big // 2 (the x axis is indexed by kx directly, not
+    c + kx).
+    """
+    rows = oct_pack(packed, mode_2d)
+    c = packed.shape[-1] // 2
+    return rows[..., c:, :]
+
+
+def _fold_half(x, y, z=None):
+    """Hermitian fold: samples with x < 0 negate all coordinates (their
+    value is the conjugate of the mirrored sample).  Returns folded
+    coords + the im-sign (+1 / -1) float32."""
+    neg = x < 0.0
+    sgn = jnp.where(neg, -1.0, 1.0).astype(jnp.float32)
+    xs = x * sgn
+    ys = y * sgn
+    if z is None:
+        return xs, ys, sgn
+    return xs, ys, z * sgn, sgn
+
+
+def _gather_oct_trilinear_half(rows_flat: jax.Array, vi, x, y, z,
+                               big: int) -> jax.Array:
+    """Half-space variant of _gather_oct_trilinear: one row-take per
+    stencil from the kx >= 0 table + conjugate fold (getFTHalf
+    semantics, Volume.h:442-480).  rows_flat: (K*big*big*c, 8)."""
+    cx = big // 2
+    c = big // 2
+    xs, ys, zs, sgn = _fold_half(x, y, z)
+    fx, fy, fz = jnp.floor(xs), jnp.floor(ys), jnp.floor(zs)
+    wx = (xs - fx).astype(jnp.float32)
+    wy = (ys - fy).astype(jnp.float32)
+    wz = (zs - fz).astype(jnp.float32)
+    ix = jnp.clip(fx.astype(jnp.int32), 0, cx - 1)
+    iy = jnp.clip(fy.astype(jnp.int32) + c, 0, big - 1)
+    iz = jnp.clip(fz.astype(jnp.int32) + c, 0, big - 1)
+    lin = vi + (iz * big + iy) * cx + ix
+    taps = jnp.take(rows_flat, lin, axis=0)              # (..., 8)
+    re, im = _unpack_ri(taps)
+    wzs = jnp.stack([1 - wz, wz], axis=-1)
+    wys = jnp.stack([1 - wy, wy], axis=-1)
+    wxs = jnp.stack([1 - wx, wx], axis=-1)
+    w = (wzs[..., :, None, None] * wys[..., None, :, None]
+         * wxs[..., None, None, :]).reshape(wx.shape + (8,))
+    return jax.lax.complex(jnp.sum(re * w, axis=-1),
+                           jnp.sum(im * w, axis=-1) * sgn)
+
+
+def _gather_quad_bilinear_half(rows_flat: jax.Array, vi, x, y,
+                               big: int) -> jax.Array:
+    """Half-space variant of _gather_quad_bilinear (2D conjugate fold).
+    rows_flat: (K*big*c, 4)."""
+    cx = big // 2
+    c = big // 2
+    xs, ys, sgn = _fold_half(x, y)
+    fx, fy = jnp.floor(xs), jnp.floor(ys)
+    wx = (xs - fx).astype(jnp.float32)
+    wy = (ys - fy).astype(jnp.float32)
+    ix = jnp.clip(fx.astype(jnp.int32), 0, cx - 1)
+    iy = jnp.clip(fy.astype(jnp.int32) + c, 0, big - 1)
+    lin = vi + iy * cx + ix
+    taps = jnp.take(rows_flat, lin, axis=0)              # (..., 4)
+    re, im = _unpack_ri(taps)
+    wys = jnp.stack([1 - wy, wy], axis=-1)
+    wxs = jnp.stack([1 - wx, wx], axis=-1)
+    w = (wys[..., :, None] * wxs[..., None, :]).reshape(wx.shape + (4,))
+    return jax.lax.complex(jnp.sum(re * w, axis=-1),
+                           jnp.sum(im * w, axis=-1) * sgn)
+
+
 def _gather_oct_trilinear(rows_flat: jax.Array, vi, ix, iy, iz, wx, wy, wz,
                           big: int) -> jax.Array:
     """One row-take of all 8 packed corners + trilinear combine.
@@ -370,12 +449,25 @@ def project_classed(proj_stack_ri: jax.Array, cls: jax.Array, rot: jax.Array,
     k_cls = proj_stack_ri.shape[0]
     packed = proj_stack_ri.dtype == jnp.uint32
     if packed and proj_stack_ri.ndim == (4 if mode_2d else 5):
-        # corner-row table (see oct_pack): one take per stencil
-        big = proj_stack_ri.shape[-2]
+        # corner-row table (see oct_pack / oct_pack_half): one take per
+        # stencil; the Hermitian half table is detected by its halved
+        # x axis
+        big = proj_stack_ri.shape[-3]
+        half = proj_stack_ri.shape[-2] * 2 == big
+        if not half:
+            big = proj_stack_ri.shape[-2]
         nd = proj_stack_ri.ndim - 2
         w_row = proj_stack_ri.shape[-1]
         rows = proj_stack_ri.reshape(-1, w_row)
-        vi = (cls * big**nd).reshape(cls.shape + (1,) * (x.ndim - 1))
+        n_vox = 1
+        for d in proj_stack_ri.shape[1:-1]:
+            n_vox *= d
+        vi = (cls * n_vox).reshape(cls.shape + (1,) * (x.ndim - 1))
+        if half:
+            if mode_2d:
+                return _gather_quad_bilinear_half(rows, vi, x, y, big)
+            z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
+            return _gather_oct_trilinear_half(rows, vi, x, y, z, big)
         ix, iy, wx, wy = _corners(x, y, big)
         if mode_2d:
             return _gather_quad_bilinear(rows, vi, ix, iy, wx, wy, big)
@@ -414,9 +506,17 @@ def project_ri(proj_ri: jax.Array, rot: jax.Array, rings, pf: int,
     x = rot[..., 0, 0:1] * fx + rot[..., 0, 1:2] * fy
     y = rot[..., 1, 0:1] * fx + rot[..., 1, 1:2] * fy
     if proj_ri.dtype == jnp.uint32 and proj_ri.ndim == (3 if mode_2d else 4):
-        # corner-row table for one class (see oct_pack)
-        big = proj_ri.shape[-2]
+        # corner-row table for one class (see oct_pack / oct_pack_half)
+        big = proj_ri.shape[-3]
+        half = proj_ri.shape[-2] * 2 == big
+        if not half:
+            big = proj_ri.shape[-2]
         rows = proj_ri.reshape(-1, proj_ri.shape[-1])
+        if half:
+            if mode_2d:
+                return _gather_quad_bilinear_half(rows, 0, x, y, big)
+            z = rot[..., 2, 0:1] * fx + rot[..., 2, 1:2] * fy
+            return _gather_oct_trilinear_half(rows, 0, x, y, z, big)
         ix, iy, wx, wy = _corners(x, y, big)
         if mode_2d:
             return _gather_quad_bilinear(rows, 0, ix, iy, wx, wy, big)

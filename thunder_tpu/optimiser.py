@@ -133,12 +133,15 @@ def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
     region reachable at the current search radius.
 
     Storage tiers (fastest first, gated by table size):
-    - corner-row tables (oct_pack): all 2x2(x2) stencil corners as one
-      gather row — one take per interpolation, ~10x faster; costs
-      8x/4x the spectrum bytes, used while the table stays < ~1.5 GB.
+    - Hermitian half-space corner-row tables (oct_pack_half): all
+      2x2(x2) stencil corners as one gather row, kx >= 0 planes only
+      with a conjugate fold at gather time (the reference's getFTHalf
+      half-space storage, Volume.h:393-480) — one take per
+      interpolation at 4x/2x the spectrum bytes, used while the table
+      stays < ~1.5 GB.
     - bf16-packed ri words: 1 take per corner.
     - float32 ri split: full precision fallback for huge stacks."""
-    from thunder_tpu.ops.projector import oct_pack, ri_split
+    from thunder_tpu.ops.projector import oct_pack_half, ri_split
 
     prep = prepare_projectee_2d if mode_2d else prepare_projectee_3d
     stack = jnp.stack([prep(refs[t], pf).ft for t in range(refs.shape[0])])
@@ -152,9 +155,9 @@ def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
     n_elem = 1
     for d in stack.shape:
         n_elem *= d
-    n_corners = 4 if mode_2d else 8
+    n_corners = (4 if mode_2d else 8) // 2
     if n_elem * n_corners * 4 <= 1536 * 2**20:
-        return oct_pack(ri_split(stack, pack_bf16=True), mode_2d)
+        return oct_pack_half(ri_split(stack, pack_bf16=True), mode_2d)
     return ri_split(stack, pack_bf16=n_elem < 2**31)
 
 
