@@ -1,0 +1,127 @@
+"""Brick-mode projection (ops/brick.py): wide-row software-texture
+gather for concentrated rotation clouds.
+
+1. Value parity vs the corner-row gather for every (span, stride)
+   config, at spreads inside the guaranteed margin.
+2. A full local-search Optimiser round in brick mode must reproduce the
+   corner-row round (same RNG keys, same data, tight resumed clouds):
+   identical class/rank-1 poses and matching resolution.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from thunder_tpu.geometry.quaternion import random_quat, rotate3d
+from thunder_tpu.ops.brick import (
+    brick_pack_half,
+    project_classed_brick,
+    spread_margin,
+)
+from thunder_tpu.ops.fourier import pack_rings
+from thunder_tpu.ops.projector import oct_pack, project_classed, ri_split
+
+
+@pytest.mark.parametrize("span,stride", [(5, 2), (7, 3), (9, 4)])
+def test_brick_matches_oct_within_margin(span, stride):
+    rng = np.random.default_rng(0)
+    B, K, L, R = 48, 2, 8, 16
+    axes = (1, 2, 3)
+    real = rng.standard_normal((K, B, B, B)).astype(np.float32)
+    spec = np.fft.fftshift(np.fft.fftn(real, axes=axes),
+                           axes=axes).astype(np.complex64)
+    packed = ri_split(jnp.asarray(spec), pack_bf16=True)
+    full = oct_pack(packed, False)
+    tab = brick_pack_half(packed, span, stride)
+
+    r_u = B // 2 - 4
+    rings = pack_rings(B, r_u, 0)
+    cls = jnp.asarray(rng.integers(0, K, L), jnp.int32)
+    base = random_quat(jax.random.PRNGKey(1), (L,))
+    # keep every sample at <= 40% of the guaranteed margin
+    dq = 0.4 * spread_margin(span, stride) / (2 * r_u)
+    small = random_quat(jax.random.PRNGKey(2), (L, R))
+    q = base[:, None] + dq * small
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    rot = rotate3d(q)
+
+    a = np.asarray(project_classed(full, cls, rot, rings, 1, False))
+    b = np.asarray(project_classed_brick(tab, cls, rot, rings, 1, B,
+                                         span, stride))
+    np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max())
+
+
+def _mini_opt(brick_force):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_e2e_3d import make_3d_dataset
+    globals().setdefault("_DS", {})
+    from thunder_tpu.config import ThunderConfig
+    from thunder_tpu.io.thu import ThuTable
+    from thunder_tpu.optimiser import Optimiser
+    from thunder_tpu.physics.ctf import ctf_params
+
+    size, n = 24, 32
+    if "d" not in _DS:
+        _DS["d"] = make_3d_dataset(size, n, snr=4.0)
+    phantom, imgs, true_q, true_t = _DS["d"]
+    cfg = ThunderConfig(
+        mode="3D", k=1, size=size, pixel_size=1.0, mask_radius=10.0,
+        trans_s=1.0, init_res=3.0, global_search_res=3.0, sym="C1",
+        m_s=64, m_l_r=16, m_l_t=5, m_reco=8, ignore_res=24.0,
+        trans_search_factor=0.1, g_search=False,
+    )
+    # must match make_3d_dataset's forward-model CTF (defocus 500)
+    ctf = ctf_params(np.full(n, 300e3), np.full(n, 500.0),
+                     np.full(n, 500.0), np.zeros(n), np.full(n, 2e7),
+                     np.full(n, 0.1), np.zeros(n))
+    thu = ThuTable.blank(n, voltage=300e3)
+    thu.quat = np.asarray(true_q)
+    thu.trans = np.asarray(true_t)
+    thu.std_trans = np.full((n, 2), 0.2)
+    # tight rotation cloud: the ACG k-columns follow the reference's
+    # convention (covariance eigenvalues relative to 1 — SMALLER =
+    # more concentrated, Particle.cpp:1004-1142)
+    thu.k1 = np.full(n, 1e-6)
+    thu.k2 = np.full(n, 1e-6)
+    thu.k3 = np.full(n, 1e-6)
+    opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64),
+                    init_refs=phantom, resume_thu=thu)
+    if brick_force is not None:
+        opt._brick_choice = lambda r_u: brick_force
+    return opt, _DS["d"][2]
+
+
+def _truth_error_deg(opt, true_q):
+    """Median angular error of rank-1 poses vs ground truth (the
+    C1-phantom has no symmetry ambiguity)."""
+    top = np.zeros((opt.n_total, 4), np.float32)
+    t = np.asarray(opt.state.par.top_r)
+    for h in (0, 1):
+        v = opt.valid[h]
+        top[opt.index[h][v]] = t[h][v]
+    dot = np.abs(np.sum(top * np.asarray(true_q), axis=-1))
+    return float(np.median(np.degrees(2 * np.arccos(np.clip(dot, -1, 1)))))
+
+
+def test_brick_round_reproduces_oct_round():
+    """The particle filter is chaotic (ulp-level likelihood differences
+    flip resampling draws), so the comparison is statistical: both the
+    corner-row and the brick round must align the tightly-resumed
+    clouds to ground truth equally well."""
+    res = {}
+    for name, force in (("oct", None), ("brick", (5, 2))):
+        opt, true_q = _mini_opt(force)
+        rec = opt.run_round(0)
+        if force is not None:
+            assert rec.get("proj_table", "").startswith("brick")
+        res[name] = (_truth_error_deg(opt, true_q), rec["res_A"])
+    # resumed at truth with tight clouds: both must stay aligned.
+    # (bounds calibrated to the oct path's own seed-to-seed spread of
+    # 6.9-8.9 deg at this snr/box — the posterior's intrinsic width)
+    assert res["oct"][0] < 11.0, res
+    assert res["brick"][0] < 11.0, res
+    assert abs(res["oct"][0] - res["brick"][0]) < 4.0, res
+    assert abs(res["oct"][1] - res["brick"][1]) < 2.0, res

@@ -124,9 +124,23 @@ def _proj_crop_size(size: int, pf: int, r_u: int) -> int:
     return min(size * pf, 2 * (pf * r_u + 2))
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "crop"))
+def _project_any(tab, cls, rot, rings, pf: int, mode_2d: bool, brick):
+    """Dispatch slice projection to the corner-row gather or, when the
+    round's rotation clouds are concentrated, the brick-mode wide-row
+    gather (ops/brick.py).  ``brick`` is a static (span, stride, b)
+    tuple or None."""
+    if brick:
+        from thunder_tpu.ops.brick import project_classed_brick
+
+        span, stride, b = brick
+        return project_classed_brick(tab, cls, rot, rings, pf, b, span,
+                                     stride)
+    return project_classed(tab, cls, rot, rings, pf, mode_2d)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "crop", "brick"))
 def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
-                             crop: int = 0):
+                             crop: int = 0, brick=None):
     """(K, size, ...) real-space refs -> gather-optimised padded
     corrected spectra (Projector::setProjectee per class,
     Model::refreshProj).  ``crop`` (0 = full) keeps only the centered
@@ -140,7 +154,11 @@ def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
       interpolation at 4x/2x the spectrum bytes, used while the table
       stays < ~1.5 GB.
     - bf16-packed ri words: 1 take per corner.
-    - float32 ri split: full precision fallback for huge stacks."""
+    - float32 ri split: full precision fallback for huge stacks.
+
+    ``brick`` = (span, stride) builds a brick-mode table instead (see
+    ops/brick.py) — chosen per round by Optimiser._brick_choice when
+    the rotation clouds are concentrated enough."""
     from thunder_tpu.ops.projector import oct_pack_half, ri_split
 
     prep = prepare_projectee_2d if mode_2d else prepare_projectee_3d
@@ -152,6 +170,12 @@ def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
         sl = (slice(None),) + tuple(
             slice(c - cc, c - cc + crop) for _ in range(nd))
         stack = stack[sl]
+    if brick:
+        from thunder_tpu.ops.brick import brick_pack_half
+
+        span, stride = brick
+        return brick_pack_half(ri_split(stack, pack_bf16=True), span,
+                               stride)
     n_elem = 1
     for d in stack.shape:
         n_elem *= d
@@ -388,7 +412,7 @@ def _adopt_global_jit(key, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d,
 
 def _phase_body(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
                 dat_w, sctf2, a_term, size: int, pf: int, mode: int,
-                pf_small: float, trans_s: float):
+                pf_small: float, trans_s: float, brick=None):
     """One particle-filter phase: perturb -> evaluate -> clip -> resample
     -> variance inference (Optimiser.cpp:1183-1614).  Traced helper."""
     mode_2d = mode == pt.MODE_2D
@@ -405,7 +429,7 @@ def _phase_body(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
 
     # gather only each image's own class (project_classed): K-fold
     # cheaper than projecting every class and selecting
-    pri = project_classed(proj_stack, cls, rot, rings, pf, mode_2d)
+    pri = _project_any(proj_stack, cls, rot, rings, pf, mode_2d, brick)
 
     dvp = log_dvp_local(dat_w, sctf2, pri, tra, a_term)   # (L, R, T)
     base = jnp.max(dvp, axis=(1, 2), keepdims=True)
@@ -422,12 +446,14 @@ def _phase_body(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     return par, vari
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small", "trans_s"))
+@partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
+                                   "trans_s", "brick"))
 def _phase_step(key, par, cls, proj_stack, i_col, i_row, dat_w, sctf2,
                 a_term, size: int, pf: int, mode: int, pf_small: float,
-                trans_s: float):
+                trans_s: float, brick=None):
     return _phase_body(key, par, cls, proj_stack, i_col, i_row, dat_w,
-                       sctf2, a_term, size, pf, mode, pf_small, trans_s)
+                       sctf2, a_term, size, pf, mode, pf_small, trans_s,
+                       brick)
 
 
 def _adaptive_phase_loop(key, par: pt.ParticleState, body_fn,
@@ -475,17 +501,18 @@ def _adaptive_phase_loop(key, par: pt.ParticleState, body_fn,
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
-                                   "trans_s", "min_phase", "max_phase"))
+                                   "trans_s", "min_phase", "max_phase",
+                                   "brick"))
 def _phase_loop(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
                 dat_w, sctf2, a_term, size: int, pf: int, mode: int,
                 pf_small: float, trans_s: float, min_phase: int,
-                max_phase: int):
+                max_phase: int, brick=None):
     """The whole adaptive phase loop as ONE device program
     (Optimiser.cpp:1183-1614)."""
     def body_fn(sub, par):
         return _phase_body(sub, par, cls, proj_stack, i_col, i_row,
                            dat_w, sctf2, a_term, size, pf, mode,
-                           pf_small, trans_s)
+                           pf_small, trans_s, brick)
 
     return _adaptive_phase_loop(key, par, body_fn, min_phase, max_phase)
 
@@ -501,7 +528,7 @@ def translate_phases_view(i_col, i_row, size, trans):
 def _phase_body_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
                     dat_s, s_pack, a_term, ctf_base, size: int, pf: int,
                     mode: int, pf_small: float, trans_s: float,
-                    pixel_size: float):
+                    pixel_size: float, brick=None):
     """CTF-search phase: additionally perturbs / evaluates / resamples
     the defocus-factor axis (SEARCH_TYPE_CTF, Optimiser.cpp:1252-1271
     on-the-fly CTF re-evaluation per defocus support point).
@@ -525,7 +552,7 @@ def _phase_body_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
         rot = rotate2d_from_unit(par.r[..., :2])
     else:
         rot = rotate3d(par.r)
-    pri = project_classed(proj_stack, cls, rot, rings, pf, mode_2d)
+    pri = _project_any(proj_stack, cls, rot, rings, pf, mode_2d, brick)
 
     ctf_d = ctf_packed_scaled(ctf_base, i_col, i_row, size, pixel_size, par.d)
     dvp = log_dvp_local_ctf(dat_s, s_pack, ctf_d, pri, tra, a_term)  # (l,d,r,t)
@@ -548,27 +575,30 @@ def _phase_body_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
                                    "trans_s", "pixel_size", "min_phase",
-                                   "max_phase"))
+                                   "max_phase", "brick"))
 def _phase_loop_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col,
                     i_row, dat_s, s_pack, a_term, ctf_base, size: int,
                     pf: int, mode: int, pf_small: float, trans_s: float,
-                    pixel_size: float, min_phase: int, max_phase: int):
+                    pixel_size: float, min_phase: int, max_phase: int,
+                    brick=None):
     """The CTF-search phase loop as ONE device program, same stall rule
     as the plain loop (the reference's CTF rounds share the phase-loop
     skeleton, Optimiser.cpp:1183-1614 with the :1252-1271 branch)."""
     def body_fn(sub, par):
         return _phase_body_ctf(sub, par, cls, proj_stack, i_col, i_row,
                                dat_s, s_pack, a_term, ctf_base, size, pf,
-                               mode, pf_small, trans_s, pixel_size)
+                               mode, pf_small, trans_s, pixel_size, brick)
 
     return _adaptive_phase_loop(key, par, body_fn, min_phase, max_phase)
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r", "n_group"))
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r",
+                                   "n_group", "brick"))
 def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
                 top_r, top_t, dat_hi, mask_hi, i_sig_hi,
                 group_id, valid, sigma_prev, r_u,
-                size: int, pf: int, mode_2d: bool, max_r: int, n_group: int):
+                size: int, pf: int, mode_2d: bool, max_r: int,
+                n_group: int, brick=None):
     """Rank-1 residual noise spectra over ALL shells (allReduceSigma,
     group mode; OPTIMISER_SIGMA_WHOLE_FREQUENCY default, Config.h:196).
 
@@ -586,8 +616,8 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
         rot = rotate2d_from_unit(top_r[..., :2])
     else:
         rot = rotate3d(top_r)
-    pri = project_classed(proj_stack, cls, rot[:, None], rings, pf,
-                          mode_2d)[:, 0]
+    pri = _project_any(proj_stack, cls, rot[:, None], rings, pf,
+                       mode_2d, brick)[:, 0]
     tra = translate_phases_view(i_col, i_row, size, top_t[:, None])[:, 0]
     resid = dat - ctf * tra * pri
     power = jnp.abs(resid) ** 2 * (mask * valid[:, None])
@@ -835,11 +865,13 @@ def _reconstruct_all(f_all, t_all, fsc_all, grid_size: int, pf: int,
 # simply fuses both hemispheres into one dispatch.
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "crop"))
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "crop",
+                                   "brick"))
 def _prepare_projectee_stack_h(refs, size: int, pf: int, mode_2d: bool,
-                               crop: int = 0):
+                               crop: int = 0, brick=None):
     return jax.vmap(
-        lambda r: _prepare_projectee_stack(r, size, pf, mode_2d, crop)
+        lambda r: _prepare_projectee_stack(r, size, pf, mode_2d, crop,
+                                           brick)
     )(refs)
 
 
@@ -888,27 +920,27 @@ def _adopt_global_h(keys, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d,
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
                                    "trans_s", "min_phase", "max_phase",
-                                   "seq"))
+                                   "seq", "brick"))
 def _phase_loop_h(keys, par, cls, proj_stack, i_col, i_row, dat_w, sctf2,
                   a_term, size: int, pf: int, mode: int, pf_small: float,
                   trans_s: float, min_phase: int, max_phase: int,
-                  seq: bool = False):
+                  seq: bool = False, brick=None):
     return _hemi_map(
         lambda k, p, c, ps, dw, s2, at: _phase_loop(
             k, p, c, ps, i_col, i_row, dw, s2, at, size, pf, mode,
-            pf_small, trans_s, min_phase, max_phase),
+            pf_small, trans_s, min_phase, max_phase, brick),
         seq,
     )(keys, par, cls, proj_stack, dat_w, sctf2, a_term)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
                                    "trans_s", "pixel_size", "min_phase",
-                                   "max_phase", "seq"))
+                                   "max_phase", "seq", "brick"))
 def _phase_loop_ctf_h(keys, par, cls, proj_stack, i_col, i_row, i_sig,
                       mask, ft_masked, sigma, group_id, ctf_base,
                       size: int, pf: int, mode: int, pf_small: float,
                       trans_s: float, pixel_size: float, min_phase: int,
-                      max_phase: int, seq: bool = False):
+                      max_phase: int, seq: bool = False, brick=None):
     """CTF loop wrapper; builds dat_s / sigRcp per hemisphere inside the
     program (the packing is re-derived from the raw spectra so the whole
     CTF round stays one dispatch)."""
@@ -922,7 +954,8 @@ def _phase_loop_ctf_h(keys, par, cls, proj_stack, i_col, i_row, i_sig,
         a_term = jnp.sum(s_rcp * jnp.abs(dat) ** 2, axis=-1)
         return _phase_loop_ctf(k, p, cl, ps, i_col, i_row, dat_s, s_rcp,
                                a_term, cb, size, pf, mode, pf_small,
-                               trans_s, pixel_size, min_phase, max_phase)
+                               trans_s, pixel_size, min_phase, max_phase,
+                               brick)
 
     return _hemi_map(one, seq)(keys, par, cls, proj_stack, ft_masked,
                                sigma, group_id, ctf_base)
@@ -934,13 +967,13 @@ def _finish_phases_h(par, sym_quats, mode: int, fold_sym: bool):
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r",
-                                   "n_group", "pixel_size"))
+                                   "n_group", "pixel_size", "brick"))
 def _sigma_step_h(ft_ori, ctf_params, mask, i_col, i_row, i_sig,
                   hi_col, hi_row, hi_sig, hi_mask,
                   proj_stack, cls, top_r, top_t, group_id, valid,
                   sigma_prev, r_u,
                   size: int, pf: int, mode_2d: bool, max_r: int,
-                  n_group: int, pixel_size: float):
+                  n_group: int, pixel_size: float, brick=None):
     c = size // 2
 
     def one(ft, cp, ps, cl, tr, tt, gi, va, sp):
@@ -950,16 +983,17 @@ def _sigma_step_h(ft_ori, ctf_params, mask, i_col, i_row, i_sig,
         return _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, ps, cl,
                            tr, tt, dat_hi, hi_mask, hi_sig,
                            gi, va, sp, r_u, size, pf, mode_2d,
-                           max_r, n_group)
+                           max_r, n_group, brick)
 
     return jax.vmap(one)(ft_ori, ctf_params, proj_stack, cls, top_r,
                          top_t, group_id, valid, sigma_prev)
 
 
-@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "pixel_size"))
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "pixel_size",
+                                   "brick"))
 def _resid_stats_h(ft_ori, ctf_params, proj_stack, cls, top_r, eff_t,
                    i_col, i_row, mask, size: int, pf: int, mode_2d: bool,
-                   pixel_size: float):
+                   pixel_size: float, brick=None):
     """Rank-1 residual norms + scale cross/auto spectra sums, fused:
     normCorrection (Optimiser.cpp:6201-6394) and refreshScale /
     scaleDataVSPrior (:5749-6063, :10286) share the same rank-1
@@ -973,7 +1007,8 @@ def _resid_stats_h(ft_ori, ctf_params, proj_stack, cls, top_r, eff_t,
         dat = ft[..., c + i_row, c + i_col]
         ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
         rot = rotate2d_from_unit(q[..., :2]) if mode_2d else rotate3d(q)
-        pri = project_classed(ps, cl, rot[:, None], rings, pf, mode_2d)[:, 0]
+        pri = _project_any(ps, cl, rot[:, None], rings, pf, mode_2d,
+                           brick)[:, 0]
         tra = translate_phases_view(i_col, i_row, size, tt[:, None])[:, 0]
         prit = pri * tra
         resid = dat - ctf * prit
@@ -1341,6 +1376,7 @@ class Optimiser:
         self._ref_mask_dev = None
         self._soft_mask_cache = None
         self._proj_stack_cache: dict = {}
+        self._round_brick = None
         if cfg.perform_mask and cfg.mask_path:
             from thunder_tpu.io.mrc import read_mrc
 
@@ -1406,28 +1442,74 @@ class Optimiser:
         corner-row packing) costs a large fraction of a round at big
         boxes, and several stages per round need the same table
         (refreshProj builds once per round in the reference,
-        Model.cpp:1013) — so cache per (refs version, crop)."""
+        Model.cpp:1013) — so cache per (refs version, crop, kind).
+
+        When the round runs in brick mode (self._round_brick set by
+        run_round), the single table built here is the brick table and
+        every projecting stage passes the same brick statics."""
         cfg = self.cfg
         crop = _proj_crop_size(cfg.size, cfg.pf, rings.r_u)
         if refs is not None:
             return _prepare_projectee_stack_h(refs, cfg.size, cfg.pf,
                                               cfg.mode_2d, crop)
-        # any cached table whose crop covers the requested radius works:
-        # the gather derives the grid size from the table shape, so a
-        # bigger table is just a bigger source (run_round primes one
-        # table at the round's max radius and every stage reuses it)
+        kind = self._round_brick  # None or (span, stride)
         ver = self.state.refs_version
-        for c_have, (ver_have, stack) in self._proj_stack_cache.items():
-            if ver_have == ver and c_have >= crop:
+        # any cached table of the SAME kind whose crop covers the
+        # requested radius works (the brick statics carry b = its crop)
+        for (c_have, k_have), (ver_have, stack) in                 self._proj_stack_cache.items():
+            if ver_have == ver and k_have == kind and c_have >= crop:
                 return stack
         stack = _prepare_projectee_stack_h(self.state.refs, cfg.size,
-                                           cfg.pf, cfg.mode_2d, crop)
-        # drop entries from older reference versions
+                                           cfg.pf, cfg.mode_2d, crop,
+                                           kind)
         self._proj_stack_cache = {
             c: v for c, v in self._proj_stack_cache.items() if v[0] == ver
         }
-        self._proj_stack_cache[crop] = (ver, stack)
+        self._proj_stack_cache[(crop, kind)] = (ver, stack)
         return stack
+
+    def _brick_statics(self, stack):
+        """(span, stride, b) statics for _project_any, derived from the
+        built table (b = nz * stride), or None in corner-row rounds."""
+        if self._round_brick is None:
+            return None
+        span, stride = self._round_brick
+        return (span, stride, stack.shape[2] * stride)
+
+    def _brick_choice(self, r_u: int):
+        """Per-round projection-table mode: brick when every image's
+        rotation support stays within the brick spread margin at the
+        round's outermost ring (see ops/brick.py docstring), else the
+        corner-row table.  Host-side, from the current particle state —
+        the analogue of the reference GPU path choosing texture layouts
+        once per iteration."""
+        from thunder_tpu.ops.brick import spread_margin
+
+        cfg = self.cfg
+        if cfg.mode_2d or self.model.search_type == SEARCH_TYPE_GLOBAL:
+            return None
+        q = np.asarray(self.state.par.r)          # (2, L, R, 4)
+        # sign-align (double cover), per-image mean, deviation angles
+        ref_q = q[..., :1, :]
+        q = q * np.sign(np.sum(q * ref_q, axis=-1, keepdims=True) + 1e-30)
+        qm = q.mean(axis=2)
+        qm /= np.maximum(np.linalg.norm(qm, axis=-1, keepdims=True), 1e-9)
+        dot = np.clip(np.abs(np.sum(q * qm[..., None, :], axis=-1)), 0, 1)
+        dev = 2.0 * np.arccos(dot)                # (2, L, R) radians
+        dev = dev[self.valid]
+        if dev.size == 0:
+            return None
+        # the 98th percentile of SUPPORT-POINT deviations decides: the
+        # few outlier support points beyond the margin degrade to
+        # clamped interpolation (a closer pose's value), the same
+        # fidelity class as the reference GPU path's 8-bit texture
+        # interpolation weights.  1.3 covers the per-phase perturbation
+        # kick (perturb_r draws at a fraction of the cloud scale).
+        spread_cells = float(np.quantile(dev, 0.98)) * 1.3             * cfg.pf * max(r_u, 1)
+        for span, stride in ((5, 2), (7, 3), (9, 4)):
+            if spread_cells <= spread_margin(span, stride):
+                return (span, stride)
+        return None
 
     # -- global search --------------------------------------------------
 
@@ -1524,6 +1606,7 @@ class Optimiser:
                 float(cfg.trans_s), float(cfg.pixel_size),
                 int(min_phase), MAX_N_PHASE_PER_ITER,
                 seq=self.mesh is None,
+                brick=self._brick_statics(proj_stack),
             )
         else:
             dat_w, sctf2, a_term = self._pack_inputs(rings)
@@ -1532,6 +1615,7 @@ class Optimiser:
                 dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
                 float(pf_small), float(cfg.trans_s), int(min_phase),
                 MAX_N_PHASE_PER_ITER, seq=self.mesh is None,
+                brick=self._brick_statics(proj_stack),
             )
         par = _finish_phases_h(par, self.sym.quats, self.mode,
                                self.sym.order > 1 and not cfg.mode_2d)
@@ -1564,7 +1648,7 @@ class Optimiser:
             s.par.top_r, s.par.top_t - self.offset, self.data.group_id,
             self.valid_dev, s.sigma, jnp.asarray(cfg.max_r), cfg.size,
             cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
-            float(cfg.pixel_size),
+            float(cfg.pixel_size), brick=self._brick_statics(proj_stack),
         )
 
     def solvent_flatten(self, apply_mask: bool):
@@ -1626,7 +1710,7 @@ class Optimiser:
             self.data.ft_ori, self.data.ctf_params, proj_stack, s.cls,
             s.par.top_r, s.par.top_t - self.offset, rings.i_col,
             rings.i_row, rings.mask, cfg.size, cfg.pf, cfg.mode_2d,
-            float(cfg.pixel_size),
+            float(cfg.pixel_size), brick=self._brick_statics(proj_stack),
         )
 
     def norm_correction(self):
@@ -1860,10 +1944,15 @@ class Optimiser:
             self.state.refs[0], self.state.refs[1], n_shells
         )
         fsc_all = np.asarray(fsc_dev)
-        if cfg.gold_standard:
+        if cfg.gold_standard and cfg.k == 1:
             new_refs = jnp.stack([ref_a_new, ref_b_new])
         else:
-            # no golden standard: one shared reference (Model::avgHemi)
+            # K > 1 (classification) or no golden standard: the two
+            # hemisphere references are FULLY averaged every round —
+            # "When refining more than 1 references, directly average
+            # two half maps" (Model.cpp:679-690); without this the
+            # hemisphere class averages drift apart (measured against
+            # the reference binary in scripts/ref_parity.py --mode 2D)
             avg = (self.state.refs[0] + self.state.refs[1]) / 2
             new_refs = jnp.stack([avg, avg])
         if self._sh_state is not None:
@@ -1901,13 +1990,17 @@ class Optimiser:
         record = dict(round=i_round, r=int(self.model.r),
                       search_type=int(self.model.search_type))
 
-        # prime ONE projection table at the round's max gather radius —
-        # sigma's projected band min(r+3, max_r) — so every stage this
-        # round (phases at r, norm correction at r_norm <= r, sigma)
-        # reuses it (a per-stage rebuild costs seconds at big boxes)
-        self._proj_stack(pack_rings(cfg.size,
-                                    min(int(self.model.r) + 3, cfg.max_r),
-                                    0))
+        # choose the round's projection-table mode (brick for
+        # concentrated clouds), then prime ONE table at the round's max
+        # gather radius — sigma's projected band min(r+3, max_r) — so
+        # every stage this round (phases at r, norm correction at
+        # r_norm <= r, sigma) reuses it (a per-stage rebuild costs
+        # seconds at big boxes)
+        r_sig = min(int(self.model.r) + 3, cfg.max_r)
+        self._round_brick = self._brick_choice(r_sig)
+        if self._round_brick:
+            record["proj_table"] = "brick%s" % (self._round_brick,)
+        self._proj_stack(pack_rings(cfg.size, r_sig, 0))
 
         # expectation (skipE honored as in run, Optimiser.cpp:3630)
         prev_top_r = self.state.par.top_r
