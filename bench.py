@@ -51,10 +51,10 @@ def make_dataset(size, n, rng, snr=3.0):
     demo_3D.json workload's forward model (cached on disk: generating
     256 projections of a 256-box phantom costs minutes on host)."""
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache", f"bench_data_{size}_{n}.npz")
+                         ".jax_cache", f"bench_data_{size}_{n}_v2.npz")
     if os.path.exists(cache):
         z = np.load(cache)
-        return z["vol"], z["imgs"], z["ctf"]
+        return z["vol"], z["imgs"], z["ctf"], z["quats"], z["trans"]
 
     import jax
     import jax.numpy as jnp
@@ -101,8 +101,9 @@ def make_dataset(size, n, rng, snr=3.0):
             imgs[i] = (im * snr / max(im.std(), 1e-9)
                        + rng.standard_normal((size, size))).astype(np.float32)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
-    np.savez_compressed(cache, vol=vol, imgs=imgs, ctf=ctf)
-    return vol, imgs, ctf
+    np.savez_compressed(cache, vol=vol, imgs=imgs, ctf=ctf,
+                        quats=np.asarray(quats), trans=trans)
+    return vol, imgs, ctf, np.asarray(quats), trans
 
 
 def run(size=128, n=256, n_rounds=N_TIMED_ROUNDS):
@@ -118,7 +119,7 @@ def run(size=128, n=256, n_rounds=N_TIMED_ROUNDS):
     from thunder_tpu.physics.ctf import ctf_params
 
     rng = np.random.default_rng(0)
-    vol, imgs, ctf_cols = make_dataset(size, n, rng)
+    vol, imgs, ctf_cols, _, _ = make_dataset(size, n, rng)
 
     cfg = ThunderConfig(
         mode="3D", k=1, size=size, pixel_size=1.32,
@@ -153,6 +154,65 @@ def run(size=128, n=256, n_rounds=N_TIMED_ROUNDS):
     return mean_ips, rounds
 
 
+def run_local(size=128, n=256, n_rounds=2):
+    """LOCAL-search round throughput: resume from converged poses with
+    tight clouds — the regime where real refinements spend most of
+    their rounds (the reference runs tens of local/CTF rounds per
+    demo refinement) and where the brick-mode projection tables engage.
+    Search radius starts at r_global (the big-ring operating point)."""
+    import jax
+
+    _enable_compile_cache()
+    from thunder_tpu.config import ThunderConfig
+    from thunder_tpu.io.thu import ThuTable
+    from thunder_tpu.optimiser import Optimiser
+    from thunder_tpu.physics.ctf import ctf_params
+
+    rng = np.random.default_rng(0)
+    vol, imgs, ctf_cols, quats, trans = make_dataset(size, n, rng)
+
+    cfg = ThunderConfig(
+        mode="3D", k=1, size=size, pixel_size=1.32,
+        mask_radius=size * 1.32 / 2 * 0.9,
+        trans_s=3.0, init_res=12.0, global_search_res=8.0, sym="C1",
+        m_s=10000, m_l_r=125, m_l_t=9, m_reco=100,
+        ignore_res=size * 1.32, trans_search_factor=0.1,
+        g_search=False,
+    )
+    ctf = ctf_params(*ctf_cols)
+    thu = ThuTable.blank(n, voltage=300e3)
+    thu.quat = quats
+    thu.trans = trans
+    thu.std_trans = np.full((n, 2), 0.3)
+    thu.k1 = np.full(n, 3e-6)
+    thu.k2 = np.full(n, 3e-6)
+    thu.k3 = np.full(n, 3e-6)
+    opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64), init_refs=vol,
+                    resume_thu=thu)
+
+    print(f"bench {size}px local: warm-up round (compiling)...",
+          file=sys.stderr, flush=True)
+    opt.run_round(0)
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        print(f"bench {size}px local: timing round {i}...",
+              file=sys.stderr, flush=True)
+        t0 = time.time()
+        rec = opt.run_round(i)
+        dt = time.time() - t0
+        rounds.append({
+            "round": i,
+            "img_per_sec": round(n / dt, 3),
+            "seconds": round(dt, 3),
+            "n_phases": rec.get("n_phases"),
+            "search_type": rec.get("search_type"),
+            "proj_table": rec.get("proj_table", "oct-half"),
+            "r": rec.get("r"),
+        })
+    mean_ips = n * len(rounds) / sum(r["seconds"] for r in rounds)
+    return mean_ips, rounds
+
+
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -167,6 +227,15 @@ def main():
             size, n = 64, 128
             ips, rounds = run(size, n)
     extra = {}
+    try:
+        ips_l, rounds_l = run_local(size, n)
+        extra["local_rounds"] = {
+            "value": round(ips_l, 3),
+            "vs_baseline": round(ips_l / ASSUMED_V100_IMG_PER_SEC, 3),
+            "rounds": rounds_l,
+        }
+    except Exception as e:
+        extra["local_rounds"] = {"error": type(e).__name__}
     if size == 128:
         # the BASELINE.json north-star box, same demo-grade grid
         try:
@@ -175,6 +244,12 @@ def main():
                 "value": round(ips256, 3),
                 "vs_baseline": round(ips256 / ASSUMED_V100_IMG_PER_SEC, 3),
                 "rounds": rounds256,
+            }
+            ips256l, rounds256l = run_local(256, n)
+            extra["256px"]["local_rounds"] = {
+                "value": round(ips256l, 3),
+                "vs_baseline": round(ips256l / ASSUMED_V100_IMG_PER_SEC, 3),
+                "rounds": rounds256l,
             }
         except Exception as e:
             extra["256px"] = {"error": type(e).__name__}

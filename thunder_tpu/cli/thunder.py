@@ -110,13 +110,12 @@ def main(argv=None):
 
     log.info("reading %s", cfg.db)
     thu = read_thu(cfg.db)
-    log.info("loading %d particles", len(thu))
     # Database::shuffle (Config.h:53): random image order decorrelates
-    # the hemisphere split from acquisition order
+    # the hemisphere split from acquisition order (deterministic seed:
+    # every process derives the SAME global layout, Database.cpp:235)
     rng = np.random.default_rng(cfg.seed)
     perm = rng.permutation(len(thu))
     thu = thu.select(perm)
-    images = load_images(thu, cfg.par_prefix)
 
     ctf = ctf_params(
         thu.voltage, thu.defocus_u, thu.defocus_v, thu.defocus_theta,
@@ -136,8 +135,26 @@ def main(argv=None):
         mesh = default_mesh()
         log.info("device mesh: %s", dict(mesh.shape))
 
-    opt = Optimiser(cfg, images, ctf, thu.group_id - 1, init_refs=init_refs,
-                    resume_thu=thu if not cfg.g_search else None, mesh=mesh)
+    if mesh is not None and jax.process_count() > 1:
+        # per-host sharded ingest: each process reads ONLY the rows its
+        # devices address (the reference's per-rank chunk assignment,
+        # Database.cpp:207-254,621)
+        log.info("sharded ingest: %d particles total over %d processes",
+                 len(thu), jax.process_count())
+        loader = lambda ids: load_images(thu, cfg.par_prefix, indices=ids)
+        opt = Optimiser(cfg, None, ctf, thu.group_id - 1,
+                        init_refs=init_refs,
+                        resume_thu=thu if not cfg.g_search else None,
+                        mesh=mesh, image_loader=loader)
+        log.info("process %d loaded %d local particles",
+                 jax.process_index(), opt.n_local_loaded)
+    else:
+        log.info("loading %d particles", len(thu))
+        images = load_images(thu, cfg.par_prefix)
+        opt = Optimiser(cfg, images, ctf, thu.group_id - 1,
+                        init_refs=init_refs,
+                        resume_thu=thu if not cfg.g_search else None,
+                        mesh=mesh)
 
     from thunder_tpu.utils.logging import RoundMetrics, check_memory
 

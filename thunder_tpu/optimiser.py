@@ -1256,21 +1256,28 @@ class Optimiser:
     as the reference's master rank does (Optimiser.cpp:3561-4364).
     """
 
-    def __init__(self, cfg: ThunderConfig, images: np.ndarray,
+    def __init__(self, cfg: ThunderConfig, images: np.ndarray | None,
                  ctf: CtfParams, group_id: np.ndarray,
                  init_refs: np.ndarray | None = None,
                  key: jax.Array | None = None,
                  hemi_of: np.ndarray | None = None,
-                 resume_thu=None, mesh=None):
+                 resume_thu=None, mesh=None, image_loader=None):
         """resume_thu: a ThuTable carrying saved poses; used when
         cfg.g_search is False to rebuild each image's particle cloud
         around its checkpointed pose (loadParticles, Optimiser.cpp:5312
-        + Particle::load)."""
+        + Particle::load).
+
+        image_loader: per-host sharded ingest (the reference's per-rank
+        chunk reads, Database.cpp:207-254,621): a callable
+        ``loader(flat_ids) -> (len, size, size) float32`` invoked with
+        ONLY the global rows this process's mesh devices address;
+        ``images`` may then be None and no process materializes the
+        full stack."""
         self.cfg = cfg
         self.key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         self.sym = Symmetry(cfg.sym) if not cfg.mode_2d else Symmetry("C1")
         self.mode = pt.MODE_2D if cfg.mode_2d else pt.MODE_3D
-        n = images.shape[0]
+        n = group_id.shape[0] if images is None else images.shape[0]
         if n < 2:
             raise ValueError("need at least one image per hemisphere")
         if hemi_of is None:
@@ -1317,14 +1324,39 @@ class Optimiser:
         self.n_img = L
 
         flat = self.index.reshape(-1)
-        prep = preprocess_images(
-            jnp.asarray(np.asarray(images)[flat]),
-            cfg.mask_radius / cfg.pixel_size, zero_mask=cfg.zero_mask,
-        )
         s2 = (2, L, cfg.size, cfg.size)
+        if image_loader is not None and mesh is not None:
+            from thunder_tpu.parallel.ingest import (
+                assemble_global,
+                local_block,
+                process_local_rows,
+            )
+
+            mask2d = process_local_rows(mesh, L)
+            h_sl, l_sl = local_block(mask2d)
+            ids = self.index[h_sl, l_sl]
+            self.local_rows = (h_sl, l_sl)
+            self.n_local_loaded = ids.size
+            imgs_local = np.asarray(image_loader(ids.reshape(-1)))
+            prep = preprocess_images(
+                jnp.asarray(imgs_local),
+                cfg.mask_radius / cfg.pixel_size, zero_mask=cfg.zero_mask,
+            )
+            blk = (ids.shape[0], ids.shape[1], cfg.size, cfg.size)
+            ft_masked = assemble_global(
+                np.asarray(prep.ft_masked).reshape(blk), mesh, s2)
+            ft_ori = assemble_global(
+                np.asarray(prep.ft_ori).reshape(blk), mesh, s2)
+        else:
+            prep = preprocess_images(
+                jnp.asarray(np.asarray(images)[flat]),
+                cfg.mask_radius / cfg.pixel_size, zero_mask=cfg.zero_mask,
+            )
+            ft_masked = prep.ft_masked.reshape(s2)
+            ft_ori = prep.ft_ori.reshape(s2)
         self.data = StackedData(
-            ft_masked=prep.ft_masked.reshape(s2),
-            ft_ori=prep.ft_ori.reshape(s2),
+            ft_masked=ft_masked,
+            ft_ori=ft_ori,
             ctf_params=CtfParams(
                 *[jnp.asarray(np.asarray(f)[flat].reshape(2, L))
                   for f in ctf]),
@@ -1389,6 +1421,21 @@ class Optimiser:
             self._apply_shardings()
 
     # ------------------------------------------------------------------
+
+    def _host(self, a) -> np.ndarray:
+        """Fetch a (possibly image-sharded) device array to the host.
+        Under multi-process execution a plain np.asarray of a
+        non-fully-addressable array fails; process_allgather replaces
+        the reference's master-rank gathers (MPI_Allreduce over stats,
+        Optimiser.cpp:6605-6700)."""
+        import jax as _jax
+
+        if self.mesh is not None and _jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(a, tiled=True))
+        return np.asarray(a)
 
     def _apply_shardings(self):
         """Commit every device array to its mesh placement; subsequent
@@ -1488,7 +1535,7 @@ class Optimiser:
         cfg = self.cfg
         if cfg.mode_2d or self.model.search_type == SEARCH_TYPE_GLOBAL:
             return None
-        q = np.asarray(self.state.par.r)          # (2, L, R, 4)
+        q = self._host(self.state.par.r)          # (2, L, R, 4)
         # sign-align (double cover), per-image mean, deviation angles
         ref_q = q[..., :1, :]
         q = q * np.sign(np.sum(q * ref_q, axis=-1, keepdims=True) + 1e-30)
@@ -1573,7 +1620,7 @@ class Optimiser:
         )
         s.par = par
         s.cls = cls
-        s.w_c = np.asarray(w_c_norm)
+        s.w_c = self._host(w_c_norm)
 
     # -- local phases ---------------------------------------------------
 
@@ -1620,7 +1667,7 @@ class Optimiser:
         par = _finish_phases_h(par, self.sym.quats, self.mode,
                                self.sym.order > 1 and not cfg.mode_2d)
         s.par = par
-        return [int(p) for p in np.asarray(phases)]
+        return [int(p) for p in self._host(phases)]
 
     # -- maximization ---------------------------------------------------
 
@@ -1722,7 +1769,7 @@ class Optimiser:
         r_norm = max(r_norm, cfg.r_low + 2)
         rings = pack_rings(cfg.size, r_norm, cfg.r_low)
         norms, _, _ = self._resid_stats(rings)        # (2, L)
-        med = float(np.median(np.asarray(norms)[self.valid]))
+        med = float(np.median(self._host(norms)[self.valid]))
         scale = jnp.sqrt(med / jnp.maximum(norms, 1e-30))
         d = self.data
         self.data = d._replace(
@@ -1737,7 +1784,7 @@ class Optimiser:
         cfg = self.cfg
         if cfg.k <= 1:
             return []
-        cls = np.asarray(self.state.cls)[self.valid]
+        cls = self._host(self.state.cls)[self.valid]
         distr = np.bincount(cls, minlength=cfg.k) / max(len(cls), 1)
         thres = 0.05 / cfg.k  # CLASS_BALANCE_FACTOR (Optimiser.h:71)
         heavy = int(np.argmax(distr))
@@ -1834,9 +1881,11 @@ class Optimiser:
         # insertion (Optimiser::reconstructRef's per-class loop)
         w_l_all = ((s.cls[:, None, :] == jnp.arange(cfg.k)[None, :, None])
                    .astype(jnp.float32) * (w_img * w_draw)[:, None, :])
+        self._last_vol_sharded = False
         if self._vol_sharded(grid_size):
             # big-box path: dense slices (pose-side symmetrisation) into
             # z-slab-sharded F/T — no full padded grid on any device
+            self._last_vol_sharded = True
             from thunder_tpu.recon.sharded import insert_sweep_3d_sharded
 
             vals, c2w, rot_e, w_cls = _dense_slices_h(
@@ -2015,7 +2064,7 @@ class Optimiser:
         # per-round rotation-stability statistic (refreshRotationChange,
         # Optimiser.cpp:3767 + Particle::diffTopR): median angular change
         # of the rank-1 rotation, the metric a practitioner watches
-        dot = np.abs(np.asarray(
+        dot = np.abs(self._host(
             jnp.sum(prev_top_r * self.state.par.top_r, axis=-1)))[self.valid]
         record["rot_change_median_deg"] = float(
             np.degrees(2.0 * np.arccos(np.clip(np.median(dot), -1.0, 1.0))))
@@ -2023,8 +2072,8 @@ class Optimiser:
         # translation-variance statistic over all particles: MEDIAN, as
         # the reference's stat_MAS (refreshVariance, Optimiser.cpp:5740;
         # Functions.cpp:254) — stable enough for the 2% stagnation test
-        s0 = np.asarray(self.state.par.s0)[self.valid]
-        s1 = np.asarray(self.state.par.s1)[self.valid]
+        s0 = self._host(self.state.par.s0)[self.valid]
+        s1 = self._host(self.state.par.s1)[self.valid]
         self.model.set_t_vari(float(np.median(s0)), float(np.median(s1)))
 
         # maximization (Optimiser::maximization, Optimiser.cpp:3405-3559;
@@ -2061,6 +2110,8 @@ class Optimiser:
         self.model.update_r(cfg.thres_cutoff_fsc)
         self.model.update_search_type()
 
+        if getattr(self, "_last_vol_sharded", False):
+            record["vol_sharded"] = True
         record["res_shell"] = int(self.model.res)
         record["res_A"] = float(self.model.res_angstrom(cfg.thres_report_fsc))
         record["elapsed_s"] = time.time() - t0
@@ -2097,7 +2148,7 @@ class Optimiser:
             not cfg.mode_2d, True, True,
         )
         self.state.refs = refs
-        return np.asarray((refs[0] + refs[1]) / 2)
+        return self._host((refs[0] + refs[1]) / 2)
 
     def save_subtract(self, mask: np.ndarray, chunk: int = 512) -> np.ndarray:
         """Signal subtraction (saveSubtract, Optimiser.cpp:8418-...):
@@ -2187,7 +2238,7 @@ class Optimiser:
     def class_assignments(self) -> np.ndarray:
         """Global class assignment array over all particles."""
         out = np.zeros(self.n_total, dtype=np.int64)
-        cls = np.asarray(self.state.cls)
+        cls = self._host(self.state.cls)
         for h in (0, 1):
             v = self.valid[h]
             out[self.index[h][v]] = cls[h][v]
@@ -2195,7 +2246,7 @@ class Optimiser:
 
     def class_averages(self) -> np.ndarray:
         """Mean of hemisphere references per class (2D stacks / 3D maps)."""
-        return np.asarray((self.state.refs[0] + self.state.refs[1]) / 2)
+        return self._host((self.state.refs[0] + self.state.refs[1]) / 2)
 
     def export_thu(self, thu):
         """Write current particle-filter compression back into a ThuTable
