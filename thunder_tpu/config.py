@@ -96,6 +96,12 @@ class ThunderConfig:
     # data axis once a grid exceeds this many MB (big-box path; the
     # reference held whole volumes per rank and broke at ~1000px boxes)
     vol_shard_min_mb: int = 512
+    # bounded HBM residency: keep the original spectra (ft_ori) in HOST
+    # memory and stream L-chunks per stage (the reference's per-rank
+    # host-resident image store, Optimiser::allocPreCal) — enable for
+    # stacks whose second device copy would not fit HBM
+    host_ft_ori: bool = False
+    host_ft_chunk: int = 256
     save_refs_each_iter: bool = True
     save_thu_each_iter: bool = True
 

@@ -92,6 +92,11 @@ PARTICLE_FILTER_DECREASE_FACTOR = 0.95  # include/Optimiser.h:60
 _ROT_BLOCK = 256  # rotations per MXU block in global search
 
 
+def _slice_l(params, sl: slice):
+    """Slice every field of a (2, L)-leading pytree along L."""
+    return jax.tree.map(lambda a: a[:, sl], params)
+
+
 def json_dumps_bytes(obj) -> bytes:
     """Python json round-trips Infinity natively, which the model state
     uses as the variance-reset sentinel."""
@@ -596,7 +601,7 @@ def _phase_loop_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col,
                                    "n_group", "brick"))
 def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
                 top_r, top_t, dat_hi, mask_hi, i_sig_hi,
-                group_id, valid, sigma_prev, r_u,
+                group_id, valid,
                 size: int, pf: int, mode_2d: bool, max_r: int,
                 n_group: int, brick=None):
     """Rank-1 residual noise spectra over ALL shells (allReduceSigma,
@@ -610,7 +615,9 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
 
     ``valid`` (L,) masks the cyclic hemisphere-padding duplicates out of
     the group spectra — the reference's sums run over real particles
-    only (Optimiser.cpp:6397-6709)."""
+    only (Optimiser.cpp:6397-6709).  Returns the raw (sig_sum, cnt_sum)
+    shell accumulators so host-resident stacks can stream image chunks
+    (_sigma_final divides and applies the band)."""
     rings = _RingsView(i_col, i_row, size)
     if mode_2d:
         rot = rotate2d_from_unit(top_r[..., :2])
@@ -636,9 +643,16 @@ def _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, proj_stack, cls,
     cnt_sum = cnt_sum.at[group_id[:, None], shell_hi[None, :]].add(
         jnp.broadcast_to(mask_hi * valid[:, None], power_hi.shape)
     )
-    sigma = sig_sum[:, :max_r] / jnp.maximum(cnt_sum[:, :max_r], 1.0)
-    valid = jnp.arange(max_r) < r_u
-    return jnp.where(valid[None, :], jnp.maximum(sigma, 1e-6), sigma_prev)
+    return sig_sum, cnt_sum
+
+
+@partial(jax.jit, static_argnames=("max_r",))
+def _sigma_final(sig_sum, cnt_sum, sigma_prev, r_u, max_r: int):
+    """Finalize group noise spectra from (possibly chunk-accumulated)
+    shell sums."""
+    sigma = sig_sum[..., :max_r] / jnp.maximum(cnt_sum[..., :max_r], 1.0)
+    band = jnp.arange(max_r) < r_u
+    return jnp.where(band, jnp.maximum(sigma, 1e-6), sigma_prev)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
@@ -971,22 +985,23 @@ def _finish_phases_h(par, sym_quats, mode: int, fold_sym: bool):
 def _sigma_step_h(ft_ori, ctf_params, mask, i_col, i_row, i_sig,
                   hi_col, hi_row, hi_sig, hi_mask,
                   proj_stack, cls, top_r, top_t, group_id, valid,
-                  sigma_prev, r_u,
                   size: int, pf: int, mode_2d: bool, max_r: int,
                   n_group: int, pixel_size: float, brick=None):
+    """Both hemispheres' sigma shell accumulators for one image chunk:
+    (sig_sum, cnt_sum), each (2, n_group, max_r + 1)."""
     c = size // 2
 
-    def one(ft, cp, ps, cl, tr, tt, gi, va, sp):
+    def one(ft, cp, ps, cl, tr, tt, gi, va):
         dat = ft[..., c + i_row, c + i_col]
         dat_hi = ft[..., c + hi_row, c + hi_col]
         ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
         return _sigma_step(dat, ctf, mask, i_col, i_row, i_sig, ps, cl,
                            tr, tt, dat_hi, hi_mask, hi_sig,
-                           gi, va, sp, r_u, size, pf, mode_2d,
+                           gi, va, size, pf, mode_2d,
                            max_r, n_group, brick)
 
     return jax.vmap(one)(ft_ori, ctf_params, proj_stack, cls, top_r,
-                         top_t, group_id, valid, sigma_prev)
+                         top_t, group_id, valid)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "pixel_size",
@@ -1207,6 +1222,35 @@ def _subtract_batch(ft_ori, ctf_params, proj_stack, cls, top_r, eff_t,
 # ======================================================================
 
 
+class HostFt:
+    """Host-resident original spectra with a lazily-applied per-image
+    intensity scale — bounded HBM residency for large stacks.
+
+    The reference keeps each rank's original images in HOST memory and
+    re-packs them per stage (allocPreCal, Optimiser.cpp:8043); keeping
+    ``ft_ori`` on host likewise halves device residency (at
+    reference-scale 100k x 256px the second device copy alone is
+    ~6.5 GB/chip on an 8-way mesh).  Stages stream L-chunks through
+    ``chunk``; intensity corrections (normCorrection / correctScale)
+    fold into ``scale`` instead of rewriting the 10s-of-GB array."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data)            # (2, L, size, size) c64
+        self.scale = np.ones(self.data.shape[:2], np.float32)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def chunk(self, sl: slice) -> jax.Array:
+        return jnp.asarray(self.data[:, sl]
+                           * self.scale[:, sl, None, None])
+
+    def get(self, h: int, sl: slice) -> jax.Array:
+        return jnp.asarray(self.data[h, sl]
+                           * self.scale[h, sl, None, None])
+
+
 class StackedData(NamedTuple):
     """Both hemispheres' images, stacked on a leading axis of size 2
     (hemisphere A = index 0, B = 1 — the reference's odd/even rank
@@ -1354,6 +1398,8 @@ class Optimiser:
             )
             ft_masked = prep.ft_masked.reshape(s2)
             ft_ori = prep.ft_ori.reshape(s2)
+        if cfg.host_ft_ori:
+            ft_ori = HostFt(np.asarray(ft_ori))
         self.data = StackedData(
             ft_masked=ft_masked,
             ft_ori=ft_ori,
@@ -1365,11 +1411,29 @@ class Optimiser:
         )
 
         ft_ori = self.data.ft_ori
-        sigma = jnp.stack([
-            jnp.broadcast_to(init_sigma(ft_ori[h], cfg.max_r),
-                             (self.n_group, cfg.max_r))
-            for h in (0, 1)
-        ])
+        if isinstance(ft_ori, HostFt):
+            from thunder_tpu.pipeline.preprocess import init_sigma_from_moments
+
+            sigs = []
+            for h in (0, 1):
+                avg = jnp.zeros((cfg.size, cfg.size), jnp.complex64)
+                p2 = jnp.zeros((cfg.size, cfg.size), jnp.float32)
+                for lo in range(0, L, cfg.host_ft_chunk):
+                    c = ft_ori.get(h, slice(lo, min(L, lo + cfg.host_ft_chunk)))
+                    avg = avg + jnp.sum(c, axis=0)
+                    p2 = p2 + jnp.sum(jnp.abs(c) ** 2, axis=0)
+                sigs.append(init_sigma_from_moments(avg / L, p2 / L,
+                                                    cfg.max_r))
+            sigma = jnp.stack([
+                jnp.broadcast_to(sg, (self.n_group, cfg.max_r))
+                for sg in sigs
+            ])
+        else:
+            sigma = jnp.stack([
+                jnp.broadcast_to(init_sigma(ft_ori[h], cfg.max_r),
+                                 (self.n_group, cfg.max_r))
+                for h in (0, 1)
+            ])
 
         if init_refs is None:
             refs = self._blank_refs()
@@ -1422,6 +1486,22 @@ class Optimiser:
 
     # ------------------------------------------------------------------
 
+    def _ft_chunks(self):
+        """L-chunk slices for ft_ori consumers: one full-range slice on
+        the device-resident path, host_ft_chunk-sized pieces when the
+        originals live in host memory."""
+        if not isinstance(self.data.ft_ori, HostFt):
+            return [slice(0, self.n_img)]
+        step = self.cfg.host_ft_chunk
+        return [slice(lo, min(self.n_img, lo + step))
+                for lo in range(0, self.n_img, step)]
+
+    def _ft_ori_chunk(self, sl: slice) -> jax.Array:
+        ft = self.data.ft_ori
+        if isinstance(ft, HostFt):
+            return ft.chunk(sl)
+        return ft[:, sl]
+
     def _host(self, a) -> np.ndarray:
         """Fetch a (possibly image-sharded) device array to the host.
         Under multi-process execution a plain np.asarray of a
@@ -1446,7 +1526,8 @@ class Optimiser:
         d = self.data
         self.data = StackedData(
             ft_masked=put_i(d.ft_masked, 2),
-            ft_ori=put_i(d.ft_ori, 2),
+            ft_ori=(d.ft_ori if isinstance(d.ft_ori, HostFt)
+                    else put_i(d.ft_ori, 2)),
             ctf_params=CtfParams(*[put_i(f, 0) for f in d.ctf_params]),
             group_id=put_i(d.group_id, 0),
         )
@@ -1687,16 +1768,26 @@ class Optimiser:
         rings = pack_rings(cfg.size, r_lo, 0)
         rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo)
         proj_stack = self._proj_stack(rings)
-        s.sigma = _sigma_step_h(
-            self.data.ft_ori, self.data.ctf_params, rings.mask,
-            rings.i_col, rings.i_row, rings.i_sig,
-            rings_hi.i_col, rings_hi.i_row, rings_hi.i_sig, rings_hi.mask,
-            proj_stack, s.cls,
-            s.par.top_r, s.par.top_t - self.offset, self.data.group_id,
-            self.valid_dev, s.sigma, jnp.asarray(cfg.max_r), cfg.size,
-            cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
-            float(cfg.pixel_size), brick=self._brick_statics(proj_stack),
-        )
+        top_t = s.par.top_t - self.offset
+        acc = None
+        for sl in self._ft_chunks():
+            sig_c, cnt_c = _sigma_step_h(
+                self._ft_ori_chunk(sl), _slice_l(self.data.ctf_params, sl),
+                rings.mask, rings.i_col, rings.i_row, rings.i_sig,
+                rings_hi.i_col, rings_hi.i_row, rings_hi.i_sig,
+                rings_hi.mask, proj_stack, s.cls[:, sl],
+                s.par.top_r[:, sl], top_t[:, sl],
+                self.data.group_id[:, sl], self.valid_dev[:, sl],
+                cfg.size, cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
+                float(cfg.pixel_size),
+                brick=self._brick_statics(proj_stack),
+            )
+            acc = ((sig_c, cnt_c) if acc is None
+                   else (acc[0] + sig_c, acc[1] + cnt_c))
+        # all shells refresh (below r_lo: projected residual; above:
+        # plain data power) — the original one-shot semantics
+        s.sigma = _sigma_final(acc[0], acc[1], s.sigma,
+                               jnp.asarray(cfg.max_r), cfg.max_r)
 
     def solvent_flatten(self, apply_mask: bool):
         """Mask the references (solventFlatten, Optimiser.cpp:7768-7989;
@@ -1730,9 +1821,14 @@ class Optimiser:
         """Rebuild the soft-masked spectra from offset-translated
         originals (reMaskImg, Optimiser.cpp:6093-6149)."""
         cfg = self.cfg
+        chunks = [
+            _remask_h(self._ft_ori_chunk(sl), self.offset[:, sl], cfg.size,
+                      float(cfg.mask_radius / cfg.pixel_size))
+            for sl in self._ft_chunks()
+        ]
         self.data = self.data._replace(
-            ft_masked=_remask_h(self.data.ft_ori, self.offset, cfg.size,
-                                float(cfg.mask_radius / cfg.pixel_size))
+            ft_masked=(chunks[0] if len(chunks) == 1
+                       else jnp.concatenate(chunks, axis=1))
         )
 
     def re_centre_img(self):
@@ -1753,12 +1849,20 @@ class Optimiser:
         cfg = self.cfg
         s = self.state
         proj_stack = self._proj_stack(rings)
-        return _resid_stats_h(
-            self.data.ft_ori, self.data.ctf_params, proj_stack, s.cls,
-            s.par.top_r, s.par.top_t - self.offset, rings.i_col,
-            rings.i_row, rings.mask, cfg.size, cfg.pf, cfg.mode_2d,
-            float(cfg.pixel_size), brick=self._brick_statics(proj_stack),
-        )
+        top_t = s.par.top_t - self.offset
+        outs = []
+        for sl in self._ft_chunks():
+            outs.append(_resid_stats_h(
+                self._ft_ori_chunk(sl), _slice_l(self.data.ctf_params, sl),
+                proj_stack, s.cls[:, sl], s.par.top_r[:, sl],
+                top_t[:, sl], rings.i_col, rings.i_row, rings.mask,
+                cfg.size, cfg.pf, cfg.mode_2d, float(cfg.pixel_size),
+                brick=self._brick_statics(proj_stack),
+            ))
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=1)
+                     for i in range(3))
 
     def norm_correction(self):
         """Scale images so residual noise power is uniform
@@ -1772,10 +1876,15 @@ class Optimiser:
         med = float(np.median(self._host(norms)[self.valid]))
         scale = jnp.sqrt(med / jnp.maximum(norms, 1e-30))
         d = self.data
-        self.data = d._replace(
-            ft_masked=d.ft_masked * scale[..., None, None],
-            ft_ori=d.ft_ori * scale[..., None, None],
-        )
+        if isinstance(d.ft_ori, HostFt):
+            d.ft_ori.scale *= np.asarray(scale)
+            self.data = d._replace(
+                ft_masked=d.ft_masked * scale[..., None, None])
+        else:
+            self.data = d._replace(
+                ft_masked=d.ft_masked * scale[..., None, None],
+                ft_ori=d.ft_ori * scale[..., None, None],
+            )
 
     def balance_classes(self):
         """Reassign starved classes' references from well-populated ones
@@ -1833,10 +1942,15 @@ class Optimiser:
         else:
             per_img = jnp.take_along_axis(scale, self.data.group_id, axis=1)
             d = self.data
-            self.data = d._replace(
-                ft_masked=d.ft_masked / per_img[..., None, None],
-                ft_ori=d.ft_ori / per_img[..., None, None],
-            )
+            if isinstance(d.ft_ori, HostFt):
+                d.ft_ori.scale /= np.asarray(per_img)
+                self.data = d._replace(
+                    ft_masked=d.ft_masked / per_img[..., None, None])
+            else:
+                self.data = d._replace(
+                    ft_masked=d.ft_masked / per_img[..., None, None],
+                    ft_ori=d.ft_ori / per_img[..., None, None],
+                )
             s.sigma = s.sigma / (scale[..., None] ** 2)
 
     def _reco_grid_size(self, r_u: int) -> int:
@@ -1888,22 +2002,37 @@ class Optimiser:
             self._last_vol_sharded = True
             from thunder_tpu.recon.sharded import insert_sweep_3d_sharded
 
-            vals, c2w, rot_e, w_cls = _dense_slices_h(
-                self.data.ft_ori, self.data.ctf_params, quats, trans,
-                d_draw, w_l_all, self.sym.matrices, cfg.size, cfg.pf,
-                float(cfg.pixel_size), use_d, r_u, self.sym.order,
+            f_acc = t_acc = None
+            for sl in self._ft_chunks():
+                vals, c2w, rot_e, w_cls = _dense_slices_h(
+                    self._ft_ori_chunk(sl),
+                    _slice_l(self.data.ctf_params, sl), quats[:, sl],
+                    trans[:, sl], d_draw[:, sl], w_l_all[:, :, sl],
+                    self.sym.matrices, cfg.size, cfg.pf,
+                    float(cfg.pixel_size), use_d, r_u, self.sym.order,
+                )
+                with self.mesh:
+                    f_c, t_c = insert_sweep_3d_sharded(
+                        self.mesh, vals, c2w, rot_e, w_cls,
+                        grid_size * cfg.pf, cfg.pf)
+                if f_acc is None:
+                    f_acc, t_acc = f_c, t_c
+                else:
+                    f_acc, t_acc = f_acc + f_c, t_acc + t_c
+            return f_acc, t_acc, r_u, grid_size
+        f2 = t2 = None
+        for sl in self._ft_chunks():
+            f_c, t_c = _insert_all_h(
+                self._ft_ori_chunk(sl), _slice_l(self.data.ctf_params, sl),
+                rings.mask, rings.i_col, rings.i_row, quats[:, sl],
+                trans[:, sl], d_draw[:, sl], w_l_all[:, :, sl],
+                self.sym.matrices,
+                jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
+                cfg.size, cfg.pf, cfg.mode_2d, self.sym.order, grid_size,
+                float(cfg.pixel_size), use_d, r_u, cfg.reco_kernel,
             )
-            with self.mesh:
-                return (*insert_sweep_3d_sharded(
-                    self.mesh, vals, c2w, rot_e, w_cls,
-                    grid_size * cfg.pf, cfg.pf), r_u, grid_size)
-        f2, t2 = _insert_all_h(
-            self.data.ft_ori, self.data.ctf_params, rings.mask,
-            rings.i_col, rings.i_row, quats, trans, d_draw, w_l_all,
-            self.sym.matrices, jnp.asarray((r_u - 1) * cfg.pf, jnp.float32),
-            cfg.size, cfg.pf, cfg.mode_2d, self.sym.order, grid_size,
-            float(cfg.pixel_size), use_d, r_u, cfg.reco_kernel,
-        )
+            f2 = f_c if f2 is None else f2 + f_c
+            t2 = t_c if t2 is None else t2 + t_c
         return f2, t2, r_u, grid_size
 
     def _vol_sharded(self, grid_size: int) -> bool:
@@ -2168,8 +2297,11 @@ class Optimiser:
             idx, val = self.index[h], self.valid[h]
             for lo in range(0, self.n_img, chunk):
                 sl = slice(lo, min(self.n_img, lo + chunk))
+                ft_h = (self.data.ft_ori.get(h, sl)
+                        if isinstance(self.data.ft_ori, HostFt)
+                        else self.data.ft_ori[h, sl])
                 diff = _subtract_batch(
-                    self.data.ft_ori[h, sl],
+                    ft_h,
                     CtfParams(*[f[h, sl] for f in self.data.ctf_params]),
                     proj_stack, s.cls[h, sl], s.par.top_r[h, sl],
                     eff_t[sl], cfg.size, cfg.pf, cfg.mode_2d,

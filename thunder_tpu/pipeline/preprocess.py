@@ -65,6 +65,23 @@ def preprocess_images(imgs: jax.Array, mask_radius_px: float,
     )
 
 
+def init_sigma_from_moments(avg: jax.Array, p2_mean: jax.Array,
+                            max_r: int) -> jax.Array:
+    """Finalize the initial noise spectrum from the two image moments
+    (mean spectrum, mean power image) — chunk-accumulable form for
+    host-resident stacks."""
+    size = avg.shape[-1]
+    cnt = shell_count(size, 2, max_r)
+    mean_ps = shell_sum(p2_mean, size, 2, max_r) / jnp.maximum(cnt, 1.0)
+    # reference uses ringAverage of (re+im) of the mean image, squared
+    ps_of_avg = (
+        shell_sum(jnp.real(avg) + jnp.imag(avg), size, 2, max_r)
+        / jnp.maximum(cnt, 1.0)
+    ) ** 2
+    sigma = (mean_ps - ps_of_avg) / 2
+    return jnp.maximum(sigma, 1e-6)
+
+
 def init_sigma(ft_ori: jax.Array, max_r: int) -> jax.Array:
     """Initial per-ring noise power: (E|X|^2 - |E X|^2)/2
     (Optimiser::initSigma, Optimiser.cpp:5145-5243).
@@ -73,22 +90,9 @@ def init_sigma(ft_ori: jax.Array, max_r: int) -> jax.Array:
     caller psums the two accumulators over the data axis first for an
     exact hemisphere-wide estimate).  Returns sigma (max_r,) float32.
     """
-    size = ft_ori.shape[-1]
-    n = ft_ori.shape[0]
     avg = jnp.mean(ft_ori, axis=0)
-    cnt = shell_count(size, 2, max_r)
-
-    mean_ps = shell_sum(
-        jnp.mean(jnp.abs(ft_ori) ** 2, axis=0), size, 2, max_r
-    ) / jnp.maximum(cnt, 1.0)
-    # reference uses ringAverage of (re+im) of the mean image, squared
-    ps_of_avg = (
-        shell_sum(jnp.real(avg) + jnp.imag(avg), size, 2, max_r)
-        / jnp.maximum(cnt, 1.0)
-    ) ** 2
-    del n
-    sigma = (mean_ps - ps_of_avg) / 2
-    return jnp.maximum(sigma, 1e-6)
+    p2 = jnp.mean(jnp.abs(ft_ori) ** 2, axis=0)
+    return init_sigma_from_moments(avg, p2, max_r)
 
 
 def sigma_to_sig_rcp(sigma: jax.Array) -> jax.Array:
