@@ -31,6 +31,9 @@ def main():
     a = p.parse_args()
 
     import jax
+    # data generation is host work; the tunneled TPU backend lacks
+    # eager complex ops (UNIMPLEMENTED) and would be slower anyway
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from thunder_tpu.geometry.quaternion import random_quat, rotate3d
     from thunder_tpu.io.mrc import write_mrc

@@ -32,13 +32,18 @@ def sample_acg(key: jax.Array, k1, k2, k3, n: int) -> jax.Array:
     return quat_normalize(v)
 
 
-def _inv4_spd(a: jax.Array) -> jax.Array:
-    """Closed-form inverse of a symmetric positive-definite 4x4 (batched)
-    via 2x2 block Schur complement.  XLA lowers jnp.linalg.inv of tiny
-    batched matrices to a slow LU path on TPU; this stays elementwise."""
+def _det2(m):
+    return m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
 
-    def inv2(m):
-        det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+
+def inv_det4_spd(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Closed-form (inverse, determinant) of a symmetric positive-definite
+    4x4 (batched) via 2x2 block Schur complement:
+    det(A) = det(P) det(S - Q^T P^{-1} Q).  XLA lowers jnp.linalg.inv /
+    det of tiny batched matrices to a slow LU custom-call path on TPU;
+    this stays elementwise."""
+
+    def inv2(m, det):
         det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
         row0 = jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1)
         row1 = jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1)
@@ -47,16 +52,22 @@ def _inv4_spd(a: jax.Array) -> jax.Array:
     p = a[..., :2, :2]
     qb = a[..., :2, 2:]
     s = a[..., 2:, 2:]
-    p_inv = inv2(p)
+    det_p = _det2(p)
+    p_inv = inv2(p, det_p)
     pq = p_inv @ qb                      # P^{-1} Q
     schur = s - jnp.swapaxes(qb, -1, -2) @ pq
-    s_inv = inv2(schur)
+    det_s = _det2(schur)
+    s_inv = inv2(schur, det_s)
     tl = p_inv + pq @ s_inv @ jnp.swapaxes(pq, -1, -2)
     tr = -pq @ s_inv
     bl = jnp.swapaxes(tr, -1, -2)
     top = jnp.concatenate([tl, tr], axis=-1)
     bot = jnp.concatenate([bl, s_inv], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    return jnp.concatenate([top, bot], axis=-2), det_p * det_s
+
+
+def _inv4_spd(a: jax.Array) -> jax.Array:
+    return inv_det4_spd(a)[0]
 
 
 def _dominant_eigvec_4(a: jax.Array, n_iter: int = 32) -> jax.Array:

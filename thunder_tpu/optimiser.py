@@ -28,6 +28,7 @@ ring-size bucket, reused across rounds and hemispheres).
 from __future__ import annotations
 
 import math
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -1166,6 +1167,36 @@ def _apply_mask_jit(refs, w):
     return refs * w[None, None]
 
 
+@jax.jit
+def _round_stats_h(prev_top_r, top_r, s0, s1, valid):
+    """Per-round monitoring statistics in ONE device program + ONE
+    scalar-vector fetch (three separate host fetches of medians cost a
+    measured ~110 ms/round through the remote-dispatch tunnel):
+    median |<q_prev, q_top>| (refreshRotationChange,
+    Optimiser.cpp:3767 + Particle::diffTopR) and the median
+    translation variances (refreshVariance, Optimiser.cpp:5740).
+    ``valid`` masks the cyclic hemisphere-padding duplicates — the
+    reference's statistics run over real particles only."""
+    dot = jnp.abs(jnp.sum(prev_top_r * top_r, axis=-1))
+    nan = jnp.float32(jnp.nan)
+    bad = valid <= 0
+    return jnp.stack([
+        jnp.nanmedian(jnp.where(bad, nan, dot)),
+        jnp.nanmedian(jnp.where(bad, nan, s0)),
+        jnp.nanmedian(jnp.where(bad, nan, s1)),
+    ])
+
+
+@jax.jit
+def _sync_scalar_h(*arrs):
+    """Tiny real-scalar reduction over live state leaves; fetching its
+    result is the execution barrier used by Optimiser._sync_device."""
+    tot = jnp.zeros((), jnp.float32)
+    for a in arrs:
+        tot = tot + jnp.real(jnp.ravel(a)[0]).astype(jnp.float32)
+    return tot
+
+
 @partial(jax.jit, static_argnames=("mode_2d",))
 def _recentre_refs_h(refs, o_class, mode_2d: bool):
     return jax.vmap(lambda r, o: _recentre_refs(r, o, mode_2d))(refs, o_class)
@@ -2161,12 +2192,39 @@ class Optimiser:
 
     # -- one full round --------------------------------------------------
 
+    def _sync_device(self):
+        """Execution barrier: dispatch a tiny reduction over the live
+        state and fetch it to host.  `block_until_ready` can return
+        early through the remote-dispatch tunnel and complex d2h is
+        unimplemented there — a float-scalar fetch of an in-order
+        dispatched program is the reliable sync."""
+        s = self.state
+        float(_sync_scalar_h(s.par.t, s.refs, s.sigma))
+
     def run_round(self, i_round: int) -> dict:
         cfg = self.cfg
         t0 = time.time()
         rings = self._rings()
         record = dict(round=i_round, r=int(self.model.r),
                       search_type=int(self.model.search_type))
+
+        # per-stage wall-clock attribution (THUNDER_STAGE_TIMING=1):
+        # each mark syncs the device, so stages pay their own async
+        # dispatch — the observability a practitioner tunes against
+        stage_ms = None
+        _mark_t = [t0]
+        if os.environ.get("THUNDER_STAGE_TIMING"):
+            stage_ms = record["stage_ms"] = {}
+            self._sync_device()
+            _mark_t[0] = time.time()
+
+        def _mark(name):
+            if stage_ms is None:
+                return
+            self._sync_device()
+            now = time.time()
+            stage_ms[name] = round((now - _mark_t[0]) * 1e3, 1)
+            _mark_t[0] = now
 
         # choose the round's projection-table mode (brick for
         # concentrated clouds), then prime ONE table at the round's max
@@ -2179,43 +2237,49 @@ class Optimiser:
         if self._round_brick:
             record["proj_table"] = "brick%s" % (self._round_brick,)
         self._proj_stack(pack_rings(cfg.size, r_sig, 0))
+        _mark("build_table")
 
         # expectation (skipE honored as in run, Optimiser.cpp:3630)
         prev_top_r = self.state.par.top_r
         if i_round == 0 or not cfg.skip_e:
             if self.model.search_type == SEARCH_TYPE_GLOBAL and cfg.g_search:
                 g = self.expectation_global(rings)
+                _mark("global_search")
                 self.adopt_global(g)
+                _mark("adopt_global")
             record["n_phases"] = self.local_phases(rings)
+            _mark("phases")
         else:
             record["n_phases"] = [0, 0]
 
-        # per-round rotation-stability statistic (refreshRotationChange,
-        # Optimiser.cpp:3767 + Particle::diffTopR): median angular change
-        # of the rank-1 rotation, the metric a practitioner watches
-        dot = np.abs(self._host(
-            jnp.sum(prev_top_r * self.state.par.top_r, axis=-1)))[self.valid]
+        # per-round monitoring statistics — rotation stability
+        # (refreshRotationChange) and translation variance
+        # (refreshVariance / stat_MAS, Functions.cpp:254, MEDIAN —
+        # stable enough for the 2% stagnation test) — computed on
+        # device and fetched as one 3-vector
+        stats = np.asarray(self._host(_round_stats_h(
+            prev_top_r, self.state.par.top_r, self.state.par.s0,
+            self.state.par.s1, self.valid_dev)))
         record["rot_change_median_deg"] = float(
-            np.degrees(2.0 * np.arccos(np.clip(np.median(dot), -1.0, 1.0))))
-
-        # translation-variance statistic over all particles: MEDIAN, as
-        # the reference's stat_MAS (refreshVariance, Optimiser.cpp:5740;
-        # Functions.cpp:254) — stable enough for the 2% stagnation test
-        s0 = self._host(self.state.par.s0)[self.valid]
-        s1 = self._host(self.state.par.s1)[self.valid]
-        self.model.set_t_vari(float(np.median(s0)), float(np.median(s1)))
+            np.degrees(2.0 * np.arccos(np.clip(stats[0], -1.0, 1.0))))
+        self.model.set_t_vari(float(stats[1]), float(stats[2]))
+        _mark("host_stats")
 
         # maximization (Optimiser::maximization, Optimiser.cpp:3405-3559;
         # skipM pins FSC to 1 instead, run :3798-3801)
         if not cfg.skip_m:
             if i_round != 0 and self.model.search_type != SEARCH_TYPE_GLOBAL:
                 self.norm_correction()
+                _mark("norm_correction")
             self.refresh_sigma()
+            _mark("sigma")
             if (self.model.search_type == SEARCH_TYPE_GLOBAL
                     and cfg.group_scl and i_round != 0):
                 self.correct_scale()
+                _mark("scale")
             if not cfg.skip_r:
                 self._reconstruct_and_compare(record)
+                _mark("reconstruct")
         else:
             self.model.set_fsc(np.ones((cfg.k, cfg.max_r), np.float32))
 
@@ -2235,6 +2299,7 @@ class Optimiser:
         if self.model.search_type != SEARCH_TYPE_GLOBAL:
             self.re_centre_img()
             self._refresh_masked()
+        _mark("mask_recentre")
 
         self.model.update_r(cfg.thres_cutoff_fsc)
         self.model.update_search_type()

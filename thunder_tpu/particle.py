@@ -36,6 +36,7 @@ from thunder_tpu.geometry.directional import (
     infer_acg_mean,
     infer_acg_matrix,
     infer_vms,
+    inv_det4_spd,
     sample_acg,
     sample_vms,
     vms_kappa,
@@ -307,9 +308,12 @@ def balance_weight_r(state: ParticleState, mode: int) -> ParticleState:
         pdf = jnp.where(kappa[:, None] < 5.0, small, large)
     else:
         def one(r):
+            # closed-form SPD inverse/det: jnp.linalg lowers batched 4x4
+            # det/inv to LU custom-calls, a measured hot spot in the
+            # phase loop's while body
             a = infer_acg_matrix(r)
-            det = jnp.linalg.det(a)
-            quad = jnp.einsum("ni,ij,nj->n", r, jnp.linalg.inv(a), r)
+            a_inv, det = inv_det4_spd(a)
+            quad = jnp.einsum("ni,ij,nj->n", r, a_inv, r)
             return jnp.power(jnp.maximum(det, 1e-30), -0.5) * jnp.power(
                 jnp.maximum(quad, 1e-12), -2.0
             )
