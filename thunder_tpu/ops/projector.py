@@ -69,6 +69,46 @@ def prepare_projectee_3d(ref_rl: jax.Array, pf: int = 2,
                      size // 2 - 1)
 
 
+def _zoom_dft_mat(size: int, big: int, crop: int) -> jax.Array:
+    """Per-axis zoom-DFT matrix E[K, m] = exp(-2pi i (K - bc)(m - c)/big)
+    taking the centered real-space support (``size`` samples of the
+    pf-padded box) directly to the centered-spectrum band
+    [bc - crop//2, bc - crop//2 + crop).  Equals the corresponding rows
+    of the padded FFT: fft3_centered(pad_rl(x))[K] = sum_m xc[m] E[K,m]
+    (fftshift/pad_rl phase conventions cancel, see fourier.py)."""
+    kk = jnp.arange(crop, dtype=jnp.float32) - crop // 2      # K - bc
+    mm = jnp.arange(size, dtype=jnp.float32) - size // 2      # m - c
+    ang = (-2.0 * jnp.pi / big) * kk[:, None] * mm[None, :]
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def prepare_projectee_3d_cropped(ref_rl: jax.Array, pf: int, crop: int,
+                                 interp: str = "linear") -> jax.Array:
+    """Padded + grid-corrected spectrum, central ``crop`` band only,
+    WITHOUT materialising the (pf*size)^3 cube: the padded FFT restricted
+    to the reachable band is three per-axis zoom-DFT matmuls over the
+    real-space support (Bluestein-style band evaluation, MXU-friendly).
+
+    At 256px/pf=2 the full-cube path computes a 512^3 FFT (1 GiB
+    intermediate per class) and keeps <1% of it; this computes the
+    ~132^3 band directly.  Matches prepare_projectee_3d(...).ft's
+    central crop to float32 accuracy (test_projector.py)."""
+    size = ref_rl.shape[-1]
+    big = size * pf
+    from thunder_tpu.ops.fourier import centered_quad_dev
+
+    rc = jnp.fft.fftshift(ref_rl, axes=(-3, -2, -1))
+    r = jnp.sqrt(centered_quad_dev(size, 3)) / (pf * big)
+    corr = tik_rl(r) if interp == "linear" else nik_rl(r)
+    rc = (rc / corr).astype(jnp.complex64)
+    e = _zoom_dft_mat(size, big, crop)
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("Km,zym->zyK", e, rc, precision=hi)
+    t = jnp.einsum("Jm,zmK->zJK", e, t, precision=hi)
+    t = jnp.einsum("Im,mJK->IJK", e, t, precision=hi)
+    return t.astype(jnp.complex64)
+
+
 def _flat_ok(arr) -> bool:
     """True when the array can be addressed by a single int32 linear
     index — the precondition for the fast flattened-take gather path

@@ -165,17 +165,25 @@ def _prepare_projectee_stack(refs, size: int, pf: int, mode_2d: bool,
     ``brick`` = (span, stride) builds a brick-mode table instead (see
     ops/brick.py) — chosen per round by Optimiser._brick_choice when
     the rotation clouds are concentrated enough."""
-    from thunder_tpu.ops.projector import oct_pack_half, ri_split
+    from thunder_tpu.ops.projector import (oct_pack_half,
+                                           prepare_projectee_3d_cropped,
+                                           ri_split)
 
-    prep = prepare_projectee_2d if mode_2d else prepare_projectee_3d
-    stack = jnp.stack([prep(refs[t], pf).ft for t in range(refs.shape[0])])
     big = size * pf
-    if crop and crop < big:
-        c, cc = big // 2, crop // 2
-        nd = 2 if mode_2d else 3
-        sl = (slice(None),) + tuple(
-            slice(c - cc, c - cc + crop) for _ in range(nd))
-        stack = stack[sl]
+    if not mode_2d and crop and crop < big:
+        # zoom-DFT band evaluation: never builds the (pf*size)^3 cube
+        stack = jnp.stack([prepare_projectee_3d_cropped(refs[t], pf, crop)
+                           for t in range(refs.shape[0])])
+    else:
+        prep = prepare_projectee_2d if mode_2d else prepare_projectee_3d
+        stack = jnp.stack([prep(refs[t], pf).ft
+                           for t in range(refs.shape[0])])
+        if crop and crop < big:
+            c, cc = big // 2, crop // 2
+            nd = 2 if mode_2d else 3
+            sl = (slice(None),) + tuple(
+                slice(c - cc, c - cc + crop) for _ in range(nd))
+            stack = stack[sl]
     if brick:
         from thunder_tpu.ops.brick import brick_pack_half
 
@@ -2107,11 +2115,12 @@ class Optimiser:
             f2, t2, jnp.asarray(fsc_all), grid_size, cfg.pf, r_u,
             map_wiener, join_half, grid_corr, cfg.size, cfg.reco_kernel)
 
-    def _reconstruct_and_compare(self, record: dict):
+    def _reconstruct_and_compare(self, record: dict, _mark=lambda n: None):
         """Reconstruction + cross-hemisphere FSC + conditional averaging
         (reconstructRef + Model::compareTwoHemispheres)."""
         cfg = self.cfg
         f2, t2, r_u, grid_size = self.reconstruct_round()
+        _mark("reco_insert")
 
         # reconstruct with the PREVIOUS round's FSC (the reference's
         # Model holds _FSC from compareTwoHemispheres of the prior
@@ -2126,6 +2135,7 @@ class Optimiser:
             f2, t2, fsc_prev, grid_size, r_u,
             not cfg.mode_2d, False, True,
         )
+        _mark("reco_wiener")
 
         # reference auto-recentring (reconstructRef, Optimiser.cpp:
         # 7382-7427): shift each class reference by minus the mean
@@ -2278,8 +2288,8 @@ class Optimiser:
                 self.correct_scale()
                 _mark("scale")
             if not cfg.skip_r:
-                self._reconstruct_and_compare(record)
-                _mark("reconstruct")
+                self._reconstruct_and_compare(record, _mark)
+                _mark("reco_compare")
         else:
             self.model.set_fsc(np.ones((cfg.k, cfg.max_r), np.float32))
 

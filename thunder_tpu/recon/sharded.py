@@ -334,38 +334,50 @@ def insert_sweep_3d_sharded(mesh, vals, ctf2w, rot, w_cls, big: int,
             zeta = (alc2[:, None, None] * gg[None, None, :]
                     + bec2[:, None, None] * gg[None, :, None])
             zw = _Z_KERNEL_WIDTH
-            new_acc = []
+            # height weights stream as bf16 with the long grid axis as
+            # the dot's rhs free dim (MXU lanes) and the case one-hots
+            # folded into s1 — the same traffic/lane fix as the
+            # unsharded inserter (ops/insert.py chunk_step), split here
+            # by which canonical axis is the sharded slab
             # case z: the height axis IS the sharded axis
-            wz = _hat((gg_a[None, :, None, None] - zeta[:, None]) / zw) / zw
-            new_acc.append(acc[0] + jnp.einsum(
-                "baml,bcml->caml",
-                wz * case_c[:, 2, None, None, None], s1))
-            # cases y and x: the canonical m axis is the sharded one
+            wz = (_hat((gg_a[None, :, None, None] - zeta[:, None]) / zw)
+                  / zw).astype(jnp.bfloat16)
+            s1z = (case_c[:, 2, None, None, None] * s1).astype(jnp.bfloat16)
+            acc_z = acc[0] + jnp.einsum(
+                "bcml,baml->mlca", s1z, wz,
+                preferred_element_type=jnp.float32)
+            # cases y and x: the canonical m axis is the sharded one;
+            # both share wz_m, so they merge into one contraction
             m_lo = j * bz
             s1_m = jax.lax.dynamic_slice_in_dim(s1, m_lo, bz, axis=2)
             zeta_m = (alc2[:, None, None] * gg[None, None, :]
                       + bec2[:, None, None] * gg_a[None, :, None])
-            wz_m = _hat((gg[None, :, None, None]
-                         - zeta_m[:, None]) / zw) / zw
-            for idx, ci in ((1, 1), (2, 0)):
-                new_acc.append(acc[idx] + jnp.einsum(
-                    "baml,bcml->caml",
-                    wz_m * case_c[:, ci, None, None, None], s1_m))
-            return tuple(new_acc), 0.0
+            wz_m = (_hat((gg[None, :, None, None]
+                          - zeta_m[:, None]) / zw) / zw).astype(jnp.bfloat16)
+            s1_yx = jnp.concatenate(
+                [case_c[:, 1, None, None, None] * s1_m,
+                 case_c[:, 0, None, None, None] * s1_m], axis=1,
+            ).astype(jnp.bfloat16)
+            acc_yx = acc[1] + jnp.einsum(
+                "bcml,baml->mlca", s1_yx, wz_m,
+                preferred_element_type=jnp.float32)
+            return (acc_z, acc_yx), 0.0
 
         vary = lambda x: jax.lax.pcast(x, ("hemi", "data"), to="varying")
-        acc0 = (vary(jnp.zeros((ch, bz, big, big), jnp.float32)),
-                vary(jnp.zeros((ch, big, bz, big), jnp.float32)),
-                vary(jnp.zeros((ch, big, bz, big), jnp.float32)))
+        acc0 = (vary(jnp.zeros((big, big, ch, bz), jnp.float32)),
+                vary(jnp.zeros((bz, big, 2 * ch, big), jnp.float32)))
         acc, _ = jax.lax.scan(
             chunk_step, acc0,
             (r(v), r(cw), r(wc.T), jax.tree.map(r, coeffs)))
 
-        # canonical -> physical (z-slab, y, x); same permutations as the
-        # unsharded inserter, with the slab in the same axis positions
-        vv = (acc[0]
-              + jnp.transpose(acc[1], (0, 2, 1, 3))
-              + jnp.transpose(acc[2], (0, 2, 3, 1)))
+        # canonical (m, l, c, a) -> physical (z-slab, y, x); the same
+        # per-case permutations as the unsharded inserter, with the
+        # slab in the same axis positions
+        acc_z, acc_yx = acc
+        acc_yx = acc_yx.reshape(bz, big, 2, ch, big)
+        vv = (jnp.transpose(acc_z, (2, 3, 0, 1))
+              + jnp.transpose(acc_yx[:, :, 0], (2, 0, 3, 1))
+              + jnp.transpose(acc_yx[:, :, 1], (2, 0, 1, 3)))
         vv = vv.reshape(n_cls, 3, bz, big, big)
         f = jax.lax.complex(vv[:, 0], vv[:, 1])
         return f[None], vv[None, :, 2]
