@@ -87,14 +87,19 @@ def main():
           f"R={s.par.r.shape[2]} T={s.par.t.shape[2]} "
           f"P={rings.i_col.shape[0]} r={opt.model.r}", flush=True)
 
-    # 1. whole loop at fixed phase counts
+    # 1. whole loop at fixed phase counts (min==max forces exactly k)
+    fmax = float(np.finfo(np.float32).max)
+    state0 = (jnp.zeros((2,), jnp.int32), jnp.zeros((2,), jnp.int32),
+              jnp.full((2, 3), fmax, jnp.float32))
     for k in (2, 6):
         timeit(f"phase_loop k={k}",
                lambda k=k: _phase_loop_h(
                    keys, s.par, s.cls, proj_stack, rings.i_col, rings.i_row,
-                   dat_w, sctf2, a_term, cfg.size, cfg.pf, mode,
+                   dat_w, sctf2, a_term, jnp.asarray(k, jnp.int32),
+                   jnp.asarray(k, jnp.int32), state0,
+                   cfg.size, cfg.pf, mode,
                    float(cfg.perturb_factor_s_global), float(cfg.trans_s),
-                   k, k, seq=True))
+                   seq=True))
 
     # 2. gather alone (per-hemisphere vmapped like the loop)
     @partial(jax.jit, static_argnames=())

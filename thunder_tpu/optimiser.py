@@ -471,14 +471,21 @@ def _phase_step(key, par, cls, proj_stack, i_col, i_row, dat_w, sctf2,
 
 
 def _adaptive_phase_loop(key, par: pt.ParticleState, body_fn,
-                         min_phase: int, max_phase: int):
+                         min_phase, max_phase, init=None):
     """Bounded while_loop with the variance-stall stopping rule
     (Optimiser.cpp:1510-1614; PARTICLE_FILTER_DECREASE_FACTOR 0.95,
     N_PHASE_WITH_NO_VARI_DECREASE 1), shared by the plain and the
     CTF-search phase loops.  ``body_fn(key, par) -> (par, (k1, s0, s1))``.
     Running the whole adaptive loop as ONE device program removes the
     per-phase host-device sync of a naive driver loop — the dominant
-    cost on a remote-dispatch TPU."""
+    cost on a remote-dispatch TPU.
+
+    ``min_phase``/``max_phase`` are TRACED scalars and ``init`` an
+    optional carried (phase, n_no_dec, (k1, s0, s1)) state, so the same
+    compiled program can run the loop in chunks: the round driver stops
+    at a chunk boundary, re-evaluates the projection-table mode against
+    the tightened clouds (brick engagement mid-round), and resumes with
+    identical stopping semantics."""
     f = PARTICLE_FILTER_DECREASE_FACTOR
     big = jnp.asarray(jnp.finfo(jnp.float32).max)
 
@@ -508,27 +515,33 @@ def _adaptive_phase_loop(key, par: pt.ParticleState, body_fn,
         )
         return key, par, phase + 1, n_no_dec, (k1, s0, s1)
 
-    state = (key, par, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-             (big, big, big))
-    _, par, phase, _, _ = jax.lax.while_loop(cond, body, state)
-    return par, phase
+    if init is None:
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                (big, big, big))
+    phase0, n_no_dec0, prev0 = init
+    state = (key, par, jnp.asarray(phase0, jnp.int32),
+             jnp.asarray(n_no_dec0, jnp.int32),
+             tuple(jnp.asarray(p, jnp.float32) for p in prev0))
+    _, par, phase, n_no_dec, prev = jax.lax.while_loop(cond, body, state)
+    return par, phase, n_no_dec, jnp.stack(prev)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
-                                   "trans_s", "min_phase", "max_phase",
-                                   "brick"))
+                                   "trans_s", "brick"))
 def _phase_loop(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
-                dat_w, sctf2, a_term, size: int, pf: int, mode: int,
-                pf_small: float, trans_s: float, min_phase: int,
-                max_phase: int, brick=None):
+                dat_w, sctf2, a_term, min_phase, max_phase, loop_state,
+                size: int, pf: int, mode: int,
+                pf_small: float, trans_s: float, brick=None):
     """The whole adaptive phase loop as ONE device program
-    (Optimiser.cpp:1183-1614)."""
+    (Optimiser.cpp:1183-1614).  min/max phase and the carried stall
+    state are dynamic so chunked resumption reuses this compilation."""
     def body_fn(sub, par):
         return _phase_body(sub, par, cls, proj_stack, i_col, i_row,
                            dat_w, sctf2, a_term, size, pf, mode,
                            pf_small, trans_s, brick)
 
-    return _adaptive_phase_loop(key, par, body_fn, min_phase, max_phase)
+    return _adaptive_phase_loop(key, par, body_fn, min_phase, max_phase,
+                                loop_state)
 
 
 def translate_phases_view(i_col, i_row, size, trans):
@@ -588,13 +601,12 @@ def _phase_body_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
-                                   "trans_s", "pixel_size", "min_phase",
-                                   "max_phase", "brick"))
+                                   "trans_s", "pixel_size", "brick"))
 def _phase_loop_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col,
-                    i_row, dat_s, s_pack, a_term, ctf_base, size: int,
+                    i_row, dat_s, s_pack, a_term, ctf_base, min_phase,
+                    max_phase, loop_state, size: int,
                     pf: int, mode: int, pf_small: float, trans_s: float,
-                    pixel_size: float, min_phase: int, max_phase: int,
-                    brick=None):
+                    pixel_size: float, brick=None):
     """The CTF-search phase loop as ONE device program, same stall rule
     as the plain loop (the reference's CTF rounds share the phase-loop
     skeleton, Optimiser.cpp:1183-1614 with the :1252-1271 branch)."""
@@ -603,7 +615,8 @@ def _phase_loop_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col,
                                dat_s, s_pack, a_term, ctf_base, size, pf,
                                mode, pf_small, trans_s, pixel_size, brick)
 
-    return _adaptive_phase_loop(key, par, body_fn, min_phase, max_phase)
+    return _adaptive_phase_loop(key, par, body_fn, min_phase, max_phase,
+                                loop_state)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r",
@@ -942,46 +955,46 @@ def _adopt_global_h(keys, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d,
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
-                                   "trans_s", "min_phase", "max_phase",
-                                   "seq", "brick"))
+                                   "trans_s", "seq", "brick"))
 def _phase_loop_h(keys, par, cls, proj_stack, i_col, i_row, dat_w, sctf2,
-                  a_term, size: int, pf: int, mode: int, pf_small: float,
-                  trans_s: float, min_phase: int, max_phase: int,
-                  seq: bool = False, brick=None):
+                  a_term, min_phase, max_phase, loop_state,
+                  size: int, pf: int, mode: int, pf_small: float,
+                  trans_s: float, seq: bool = False, brick=None):
     return _hemi_map(
-        lambda k, p, c, ps, dw, s2, at: _phase_loop(
-            k, p, c, ps, i_col, i_row, dw, s2, at, size, pf, mode,
-            pf_small, trans_s, min_phase, max_phase, brick),
+        lambda k, p, c, ps, dw, s2, at, st: _phase_loop(
+            k, p, c, ps, i_col, i_row, dw, s2, at, min_phase, max_phase,
+            st, size, pf, mode, pf_small, trans_s, brick),
         seq,
-    )(keys, par, cls, proj_stack, dat_w, sctf2, a_term)
+    )(keys, par, cls, proj_stack, dat_w, sctf2, a_term, loop_state)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode", "pf_small",
-                                   "trans_s", "pixel_size", "min_phase",
-                                   "max_phase", "seq", "brick"))
+                                   "trans_s", "pixel_size", "seq",
+                                   "brick"))
 def _phase_loop_ctf_h(keys, par, cls, proj_stack, i_col, i_row, i_sig,
                       mask, ft_masked, sigma, group_id, ctf_base,
+                      min_phase, max_phase, loop_state,
                       size: int, pf: int, mode: int, pf_small: float,
-                      trans_s: float, pixel_size: float, min_phase: int,
-                      max_phase: int, seq: bool = False, brick=None):
+                      trans_s: float, pixel_size: float,
+                      seq: bool = False, brick=None):
     """CTF loop wrapper; builds dat_s / sigRcp per hemisphere inside the
     program (the packing is re-derived from the raw spectra so the whole
     CTF round stays one dispatch)."""
     c = size // 2
 
-    def one(k, p, cl, ps, ft, sg, gi, cb):
+    def one(k, p, cl, ps, ft, sg, gi, cb, st):
         dat = ft[..., c + i_row, c + i_col]
         sig = sg[gi[:, None], i_sig[None, :]]
         s_rcp = sigma_to_sig_rcp(sig) * mask
         dat_s = s_rcp.astype(jnp.complex64) * dat
         a_term = jnp.sum(s_rcp * jnp.abs(dat) ** 2, axis=-1)
         return _phase_loop_ctf(k, p, cl, ps, i_col, i_row, dat_s, s_rcp,
-                               a_term, cb, size, pf, mode, pf_small,
-                               trans_s, pixel_size, min_phase, max_phase,
-                               brick)
+                               a_term, cb, min_phase, max_phase, st,
+                               size, pf, mode, pf_small,
+                               trans_s, pixel_size, brick)
 
     return _hemi_map(one, seq)(keys, par, cls, proj_stack, ft_masked,
-                               sigma, group_id, ctf_base)
+                               sigma, group_id, ctf_base, loop_state)
 
 
 @partial(jax.jit, static_argnames=("mode", "fold_sym"))
@@ -1643,17 +1656,26 @@ class Optimiser:
         span, stride = self._round_brick
         return (span, stride, stack.shape[2] * stride)
 
-    def _brick_choice(self, r_u: int):
+    def _brick_choice(self, r_u: int, mid_round: bool = False):
         """Per-round projection-table mode: brick when every image's
         rotation support stays within the brick spread margin at the
         round's outermost ring (see ops/brick.py docstring), else the
         corner-row table.  Host-side, from the current particle state —
         the analogue of the reference GPU path choosing texture layouts
-        once per iteration."""
+        once per iteration.  ``mid_round=True`` (chunked phase driver)
+        also considers rounds whose search type is GLOBAL: the clouds
+        tighten within the round as phases resample."""
         from thunder_tpu.ops.brick import spread_margin
 
         cfg = self.cfg
-        if cfg.mode_2d or self.model.search_type == SEARCH_TYPE_GLOBAL:
+        force = os.environ.get("THUNDER_BRICK", "")
+        if force == "off":
+            return None
+        if force and not mid_round:
+            span, stride = (int(v) for v in force.split(","))
+            return (span, stride)
+        if cfg.mode_2d or (self.model.search_type == SEARCH_TYPE_GLOBAL
+                           and not mid_round):
             return None
         q = self._host(self.state.par.r)          # (2, L, R, 4)
         # sign-align (double cover), per-image mean, deviation angles
@@ -1673,8 +1695,17 @@ class Optimiser:
         # interpolation weights.  1.3 covers the per-phase perturbation
         # kick (perturb_r draws at a fraction of the cloud scale).
         spread_cells = float(np.quantile(dev, 0.98)) * 1.3             * cfg.pf * max(r_u, 1)
+        # hysteresis: entering brick mode costs a fresh phase-loop
+        # compile, so require 20% margin headroom to ENTER; once in, a
+        # config stays while the spread still fits its plain margin
+        # (prevents the enter/leave flip-flop seen at 256px, where each
+        # flip re-pays the compile)
+        prev = getattr(self, "_round_brick", None)
         for span, stride in ((5, 2), (7, 3), (9, 4)):
-            if spread_cells <= spread_margin(span, stride):
+            margin = spread_margin(span, stride)
+            enter = 0.8 * margin
+            if spread_cells <= (margin if prev == (span, stride)
+                                else enter):
                 return (span, stride)
         return None
 
@@ -1747,7 +1778,6 @@ class Optimiser:
     def local_phases(self, rings: PackedRings) -> list[int]:
         cfg = self.cfg
         s = self.state
-        proj_stack = self._proj_stack(rings)
 
         is_global = self.model.search_type == SEARCH_TYPE_GLOBAL
         is_ctf = self.model.search_type == SEARCH_TYPE_CTF and cfg.c_search
@@ -1756,38 +1786,85 @@ class Optimiser:
         pf_small = (cfg.perturb_factor_s_global if is_global
                     else (cfg.perturb_factor_s_ctf if is_ctf
                           else cfg.perturb_factor_s_local))
-
-        self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, 2)
-        if is_ctf:
+        if is_ctf and float(jnp.max(s.par.s_d)) == 0.0:
             # first CTF round: seed the defocus std (ctfRefineS)
-            if float(jnp.max(s.par.s_d)) == 0.0:
-                s.par = s.par._replace(
-                    s_d=jnp.full_like(s.par.s_d, cfg.ctf_refine_s)
+            s.par = s.par._replace(
+                s_d=jnp.full_like(s.par.s_d, cfg.ctf_refine_s))
+
+        def run_chunk(par, max_phase, loop_state):
+            proj_stack = self._proj_stack(rings)
+            self.key, sub = jax.random.split(self.key)
+            keys = jax.random.split(sub, 2)
+            mn = jnp.asarray(min_phase, jnp.int32)
+            mx = jnp.asarray(max_phase, jnp.int32)
+            if is_ctf:
+                return _phase_loop_ctf_h(
+                    keys, par, s.cls, proj_stack, rings.i_col,
+                    rings.i_row, rings.i_sig, rings.mask,
+                    self.data.ft_masked, s.sigma, self.data.group_id,
+                    self.data.ctf_params, mn, mx, loop_state,
+                    cfg.size, cfg.pf, self.mode, float(pf_small),
+                    float(cfg.trans_s), float(cfg.pixel_size),
+                    seq=self.mesh is None,
+                    brick=self._brick_statics(proj_stack),
                 )
-            par, phases = _phase_loop_ctf_h(
-                keys, s.par, s.cls, proj_stack, rings.i_col, rings.i_row,
-                rings.i_sig, rings.mask, self.data.ft_masked, s.sigma,
-                self.data.group_id, self.data.ctf_params,
-                cfg.size, cfg.pf, self.mode, float(pf_small),
-                float(cfg.trans_s), float(cfg.pixel_size),
-                int(min_phase), MAX_N_PHASE_PER_ITER,
+            dat_w, sctf2, a_term = self._pack_inputs(rings)
+            return _phase_loop_h(
+                keys, par, s.cls, proj_stack, rings.i_col, rings.i_row,
+                dat_w, sctf2, a_term, mn, mx, loop_state,
+                cfg.size, cfg.pf, self.mode,
+                float(pf_small), float(cfg.trans_s),
                 seq=self.mesh is None,
                 brick=self._brick_statics(proj_stack),
             )
-        else:
-            dat_w, sctf2, a_term = self._pack_inputs(rings)
-            par, phases = _phase_loop_h(
-                keys, s.par, s.cls, proj_stack, rings.i_col, rings.i_row,
-                dat_w, sctf2, a_term, cfg.size, cfg.pf, self.mode,
-                float(pf_small), float(cfg.trans_s), int(min_phase),
-                MAX_N_PHASE_PER_ITER, seq=self.mesh is None,
-                brick=self._brick_statics(proj_stack),
-            )
+
+        # chunked driving with mid-round brick engagement: the clouds
+        # tighten as phases resample (esp. after global adoption), so a
+        # round that started on the corner-row table can switch to the
+        # brick table at a chunk boundary once the spread fits.  The
+        # stall state (phase, n_no_dec, prev vari) carries across
+        # chunks, so the stopping rule is identical to the monolithic
+        # loop; min/max phase are traced, so every chunk reuses one
+        # compilation per table kind.
+        chunk = int(os.environ.get("THUNDER_PHASE_CHUNK", "4"))
+        # chunking pays only where the corner-row gather dominates the
+        # phase cost — big tables (the measured brick-vs-oct crossover;
+        # at 128px warm brick ~ oct-half, so chunk syncs would be pure
+        # overhead there)
+        table_bytes = _proj_crop_size(cfg.size, cfg.pf, rings.r_u) ** 3 * 16
+        midround = (chunk > 0 and not cfg.mode_2d
+                    and self._round_brick is None
+                    and table_bytes > 24e6)
+        fmax = float(np.finfo(np.float32).max)
+        loop_state = (jnp.zeros((2,), jnp.int32),
+                      jnp.zeros((2,), jnp.int32),
+                      jnp.full((2, 3), fmax, jnp.float32))
+        par = s.par
+        phases_done = 0
+        while True:
+            nxt = (min(phases_done + chunk, MAX_N_PHASE_PER_ITER)
+                   if midround else MAX_N_PHASE_PER_ITER)
+            par, phase, n_no_dec, prev = run_chunk(par, nxt, loop_state)
+            if nxt >= MAX_N_PHASE_PER_ITER:
+                break
+            ph, nnd = self._host(phase), self._host(n_no_dec)
+            done = (ph >= MAX_N_PHASE_PER_ITER) | (
+                (ph >= min_phase)
+                & (nnd >= N_PHASE_WITH_NO_VARI_DECREASE))
+            if done.all():
+                break
+            phases_done = int(ph.max())
+            loop_state = (phase, n_no_dec, prev)
+            s.par = par
+            new_brick = self._brick_choice(rings.r_u, mid_round=True)
+            if new_brick is not None:
+                self._round_brick = new_brick
+                midround = False    # one switch per round
+
         par = _finish_phases_h(par, self.sym.quats, self.mode,
                                self.sym.order > 1 and not cfg.mode_2d)
         s.par = par
-        return [int(p) for p in self._host(phases)]
+        return [int(p) for p in self._host(phase)]
 
     # -- maximization ---------------------------------------------------
 
@@ -2258,6 +2335,9 @@ class Optimiser:
                 self.adopt_global(g)
                 _mark("adopt_global")
             record["n_phases"] = self.local_phases(rings)
+            if self._round_brick:
+                # may have engaged mid-round (chunked phase driver)
+                record["proj_table"] = "brick%s" % (self._round_brick,)
             _mark("phases")
         else:
             record["n_phases"] = [0, 0]
