@@ -106,7 +106,7 @@ def _axis_hat(off: jax.Array, span: int) -> jax.Array:
 
 def project_classed_brick(tab: jax.Array, cls: jax.Array, rot: jax.Array,
                           rings, pf: int, b: int, span: int = 8,
-                          stride: int = 4, r_block: int = 8) -> jax.Array:
+                          stride: int = 4, r_block: int = 0) -> jax.Array:
     """Brick-mode slice extraction (3D local phases).
 
     tab : (K, nz, ny, nx, W) uint32 (brick_pack_half), built from a
@@ -160,6 +160,12 @@ def project_classed_brick(tab: jax.Array, cls: jax.Array, rot: jax.Array,
     ox = (axi * stride - g).astype(jnp.float32)
 
     n_rot = rot.shape[1]
+    if r_block == 0:
+        # wider bricks amortise the big (L,P,2,span^3) value tensor
+        # over more rotations per block (span 9: 317 -> 203 ms/phase at
+        # 256px r=42, scripts/micro_brick.py); small bricks are
+        # indifferent (span 5: 59 ms either way)
+        r_block = 32 if span >= 9 else 8
     rb = min(r_block, n_rot)
     n_blk = (n_rot + rb - 1) // rb
     if n_blk * rb != n_rot:
@@ -167,6 +173,18 @@ def project_classed_brick(tab: jax.Array, cls: jax.Array, rot: jax.Array,
         x = jnp.pad(x, ((0, 0), (0, padr), (0, 0)))
         y = jnp.pad(y, ((0, 0), (0, padr), (0, 0)))
         z = jnp.pad(z, ((0, 0), (0, padr), (0, 0)))
+
+    # Interpolation as explicit broadcast multiply-reduce with the
+    # (l, p) batch axes LEADING on every operand.  einsum forms lower
+    # these per-(image, pixel) contractions to batched tiny dots
+    # (M=10, N=rb, K=25) that the TPU executes at ~0.1% MXU utilisation
+    # with full transposed copies of the intermediates — measured 194
+    # (einsum) vs 59 ms (this form) per phase-gather at 256px r=42
+    # (scripts/micro_brick.py); the reduce fuses on the VPU without
+    # materialising the product tensors.
+    br_lp = jnp.moveaxis(br, 1, 2)                           # (L,P,2,z,y,x)
+    br_lp = br_lp.reshape(br.shape[0], br.shape[2], 2,
+                          span * span, span)                 # (L,P,2,zy,x)
 
     def blk(carry, inp):
         xb, yb, zb = inp                                     # (rb, L, P)
@@ -176,9 +194,14 @@ def project_classed_brick(tab: jax.Array, cls: jax.Array, rot: jax.Array,
         wz = _axis_hat(zb * sgn[:, None] - oz[:, None], span)
         wy = _axis_hat(yb * sgn[:, None] - oy[:, None], span)
         wx = _axis_hat(xb * sgn[:, None] - ox[:, None], span)
-        t1 = jnp.einsum("lcpzyx,lrpz->lcrpyx", br, wz)
-        t2 = jnp.einsum("lcrpyx,lrpy->lcrpx", t1, wy)
-        out = jnp.einsum("lcrpx,lrpx->lcrp", t2, wx)
+        # (L, P, rb, zy): z/y weights fused into one 25-wide factor
+        wzy = (wz[..., :, None] * wy[..., None, :]).reshape(
+            wz.shape[0], rb, wz.shape[2], span * span)
+        wzy = jnp.moveaxis(wzy, 1, 2)                        # (L,P,rb,zy)
+        # t1 (L,P,2,rb,x); out (L,P,2,rb)
+        t1 = jnp.sum(br_lp[:, :, :, None, :, :]
+                     * wzy[:, :, None, :, :, None], axis=4)
+        out = jnp.sum(t1 * jnp.moveaxis(wx, 1, 2)[:, :, None], axis=-1)
         return carry, out
 
     def r(v):
@@ -188,8 +211,8 @@ def project_classed_brick(tab: jax.Array, cls: jax.Array, rot: jax.Array,
     _, outs = jax.lax.scan(blk, 0.0, (jnp.moveaxis(r(x), 2, 1),
                                       jnp.moveaxis(r(y), 2, 1),
                                       jnp.moveaxis(r(z), 2, 1)))
-    # outs: (n_blk, L, 2, rb, P) -> (L, n_blk*rb, P)
-    outs = jnp.moveaxis(outs, 0, 2)                          # (L, 2, n_blk, rb, P)
+    # outs: (n_blk, L, P, 2, rb) -> (L, 2, n_blk*rb, P)
+    outs = jnp.transpose(outs, (1, 3, 0, 4, 2))
     outs = outs.reshape(outs.shape[0], 2, n_blk * rb, outs.shape[-1])
     outs = outs[:, :, :n_rot]
     return jax.lax.complex(outs[:, 0], outs[:, 1])

@@ -232,16 +232,23 @@ def _sweep_s1(valsc, ctfwc, wcc, co: dict, ch: int, chunk: int, nk: int,
         chunk, ch, nk, nk)
     uc = jnp.where(co["swap_hk"][:, None, None, None],
                    jnp.swapaxes(uc, -1, -2), uc)
-    # pass 3^T: spread along m
+    # pass 3^T: spread along m.  The hat fields w3/w2 are the in-plane
+    # analogues of the height pass's wz — (b, h, k|m, grid) tensors that
+    # dominate HBM traffic at big grids — so they stream as bf16 too
+    # (f32 accumulation via preferred_element_type).
     ctr_m = (co["em1"][:, None, None] * hh[None, :, None]
              + co["em2"][:, None, None] * hh[None, None, :])
-    w3 = _hat(gg[None, None, None, :] - ctr_m[..., None])
-    b_hm = jnp.einsum("bhkm,bchk->bchm", w3, uc)
+    w3 = _hat(gg[None, None, None, :] - ctr_m[..., None]
+              ).astype(jnp.bfloat16)
+    b_hm = jnp.einsum("bhkm,bchk->bchm", w3, uc.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
     # pass 2^T: spread along l with sheared centres
     ctr_l = (co["p_h"][:, None, None] * hh[None, :, None]
              + co["q_m"][:, None, None] * gg[None, None, :])
-    w2 = _hat(gg[None, None, None, :] - ctr_l[..., None])
-    s1 = jnp.einsum("bhml,bchm->bcml", w2, b_hm)
+    w2 = _hat(gg[None, None, None, :] - ctr_l[..., None]
+              ).astype(jnp.bfloat16)
+    s1 = jnp.einsum("bhml,bchm->bcml", w2, b_hm.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
     # undo the m/l swap so (m, l) are canonical per case
     s1 = jnp.where(co["swap_ml"][:, None, None, None],
                    jnp.swapaxes(s1, -1, -2), s1)
