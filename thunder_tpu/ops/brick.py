@@ -76,13 +76,18 @@ def brick_pack_half(packed: jax.Array, span: int = 8,
     nz = ny = (b + stride - 1) // stride
     nx = (g + c + stride - 1) // stride
     pad = jnp.pad(sub, ((0, 0), (0, span), (0, span), (0, span)))
+    # stack the span^3 window offsets along the MAJOR axis and transpose
+    # once at the end: stacking minor-most directly makes XLA interleave
+    # 125 strided slices element-wise into the last axis — measured
+    # ~500 ms vs one bulk transpose at 256px table sizes
     rows = []
     for dz in range(span):
         for dy in range(span):
             for dx in range(span):
                 part = pad[:, dz::stride, dy::stride, dx::stride]
                 rows.append(part[:, :nz, :ny, :nx])
-    rows = jnp.stack(rows, axis=-1)               # (K, nz, ny, nx, s^3)
+    rows = jnp.stack(rows, axis=0)                # (s^3, K, nz, ny, nx)
+    rows = jnp.moveaxis(rows, 0, -1)              # (K, nz, ny, nx, s^3)
     w = _row_width(span)
     if w > span ** 3:
         rows = jnp.pad(rows, ((0, 0),) * 4 + ((0, w - span ** 3),))

@@ -1525,6 +1525,7 @@ class Optimiser:
         self._soft_mask_cache = None
         self._proj_stack_cache: dict = {}
         self._round_brick = None
+        self._brick_used: set = set()   # configs engaged this process
         if cfg.perform_mask and cfg.mask_path:
             from thunder_tpu.io.mrc import read_mrc
 
@@ -1615,7 +1616,7 @@ class Optimiser:
             rings.mask, cfg.size, float(cfg.pixel_size),
         )
 
-    def _proj_stack(self, rings: PackedRings, refs=None):
+    def _proj_stack(self, rings: PackedRings, refs=None, kind="round"):
         """Prepared projection tables for the current references.
 
         Building one (pf-padded FFT of every class + grid correction +
@@ -1632,7 +1633,11 @@ class Optimiser:
         if refs is not None:
             return _prepare_projectee_stack_h(refs, cfg.size, cfg.pf,
                                               cfg.mode_2d, crop)
-        kind = self._round_brick  # None or (span, stride)
+        # kind: "round" follows the round's choice; None forces the
+        # corner-row table — single-rotation stages (sigma, norm/resid)
+        # gain nothing from brick sharing and pay its span^3-word rows
+        # (measured 145 -> 384 ms sigma at 256px)
+        kind = self._round_brick if kind == "round" else kind
         ver = self.state.refs_version
         # any cached table of the SAME kind whose crop covers the
         # requested radius works (the brick statics carry b = its crop)
@@ -1695,17 +1700,18 @@ class Optimiser:
         # interpolation weights.  1.3 covers the per-phase perturbation
         # kick (perturb_r draws at a fraction of the cloud scale).
         spread_cells = float(np.quantile(dev, 0.98)) * 1.3             * cfg.pf * max(r_u, 1)
-        # hysteresis: entering brick mode costs a fresh phase-loop
-        # compile, so require 20% margin headroom to ENTER; once in, a
-        # config stays while the spread still fits its plain margin
-        # (prevents the enter/leave flip-flop seen at 256px, where each
-        # flip re-pays the compile)
-        prev = getattr(self, "_round_brick", None)
+        # hysteresis + stickiness: ENTERING an uncompiled brick config
+        # costs a fresh phase-loop compile, so it needs 20% margin
+        # headroom; a config this process has already used (compiled,
+        # in the persistent cache) re-engages at its plain margin.
+        # Prevents the enter/leave flip-flop seen at 256px, where every
+        # flip re-paid a compile.
+        prev = self._round_brick
         for span, stride in ((5, 2), (7, 3), (9, 4)):
             margin = spread_margin(span, stride)
-            enter = 0.8 * margin
-            if spread_cells <= (margin if prev == (span, stride)
-                                else enter):
+            known = (prev == (span, stride)
+                     or (span, stride) in self._brick_used)
+            if spread_cells <= (margin if known else 0.8 * margin):
                 return (span, stride)
         return None
 
@@ -1841,6 +1847,7 @@ class Optimiser:
                       jnp.full((2, 3), fmax, jnp.float32))
         par = s.par
         phases_done = 0
+        switches = 0
         while True:
             nxt = (min(phases_done + chunk, MAX_N_PHASE_PER_ITER)
                    if midround else MAX_N_PHASE_PER_ITER)
@@ -1857,9 +1864,18 @@ class Optimiser:
             loop_state = (phase, n_no_dec, prev)
             s.par = par
             new_brick = self._brick_choice(rings.r_u, mid_round=True)
-            if new_brick is not None:
+            cur = self._round_brick
+            # engage brick once the spread fits; afterwards only
+            # TIGHTEN to a faster (smaller-span) config this process
+            # has already compiled, at most twice per round
+            if (new_brick is not None and new_brick != cur
+                    and switches < 2
+                    and (cur is None
+                         or (new_brick in self._brick_used
+                             and new_brick[0] < cur[0]))):
                 self._round_brick = new_brick
-                midround = False    # one switch per round
+                self._brick_used.add(new_brick)
+                switches += 1
 
         par = _finish_phases_h(par, self.sym.quats, self.mode,
                                self.sym.order > 1 and not cfg.mode_2d)
@@ -1883,7 +1899,7 @@ class Optimiser:
         r_lo = min(int(self.model.r) + 3, cfg.max_r)
         rings = pack_rings(cfg.size, r_lo, 0)
         rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo)
-        proj_stack = self._proj_stack(rings)
+        proj_stack = self._proj_stack(rings, kind=None)
         top_t = s.par.top_t - self.offset
         acc = None
         for sl in self._ft_chunks():
@@ -1896,7 +1912,7 @@ class Optimiser:
                 self.data.group_id[:, sl], self.valid_dev[:, sl],
                 cfg.size, cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
                 float(cfg.pixel_size),
-                brick=self._brick_statics(proj_stack),
+                brick=None,
             )
             acc = ((sig_c, cnt_c) if acc is None
                    else (acc[0] + sig_c, acc[1] + cnt_c))
@@ -1964,7 +1980,7 @@ class Optimiser:
     def _resid_stats(self, rings: PackedRings):
         cfg = self.cfg
         s = self.state
-        proj_stack = self._proj_stack(rings)
+        proj_stack = self._proj_stack(rings, kind=None)
         top_t = s.par.top_t - self.offset
         outs = []
         for sl in self._ft_chunks():
@@ -1973,7 +1989,7 @@ class Optimiser:
                 proj_stack, s.cls[:, sl], s.par.top_r[:, sl],
                 top_t[:, sl], rings.i_col, rings.i_row, rings.mask,
                 cfg.size, cfg.pf, cfg.mode_2d, float(cfg.pixel_size),
-                brick=self._brick_statics(proj_stack),
+                brick=None,
             ))
         if len(outs) == 1:
             return outs[0]
@@ -2323,6 +2339,7 @@ class Optimiser:
         self._round_brick = self._brick_choice(r_sig)
         if self._round_brick:
             record["proj_table"] = "brick%s" % (self._round_brick,)
+            self._brick_used.add(self._round_brick)
         self._proj_stack(pack_rings(cfg.size, r_sig, 0))
         _mark("build_table")
 
