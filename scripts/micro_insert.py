@@ -114,9 +114,35 @@ def height_variant(form: str, chunk: int, ch: int, big: int, nk: int):
     return run
 
 
+def timeit_scanned(label, fn_of_rot, rot, reps=4):
+    """reps iterations inside ONE jitted scan (tunnel dispatch latency
+    is ~100x noisy for single-call timings)."""
+    import numpy as _np
+
+    @jax.jit
+    def run(rot_):
+        def step(acc, i):
+            out = fn_of_rot(rot_ + i * 1e-7)
+            s = 0.0
+            for l in jax.tree.leaves(out)[:2]:
+                s += (jnp.sum(jnp.abs(jnp.real(l)))
+                      + jnp.sum(jnp.abs(jnp.imag(l)))).astype(jnp.float32)
+            return acc + s, None
+        acc, _ = jax.lax.scan(
+            step, jnp.float32(0), jnp.arange(reps, dtype=jnp.float32))
+        return acc
+
+    _np.asarray(run(rot))
+    t0 = time.time()
+    _np.asarray(run(rot))
+    dt = (time.time() - t0) / reps * 1e3
+    print(f"  {label:44s} {dt:9.1f} ms/iter", flush=True)
+
+
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    r_u = 31 if size == 256 else 17
+    r_u = int(sys.argv[2]) if len(sys.argv) > 2 else (31 if size == 256
+                                                     else 17)
     nk = 2 * r_u - 1
     grid = min(size, 2 * (r_u + 2))
     grid += grid % 2
@@ -145,12 +171,30 @@ def main():
     rot = jnp.asarray(rot_np)
     w_cls = jnp.ones((1, B), jnp.float32) / B
 
-    @jax.jit
-    def f(vr, vi, cw, rot, w):
-        return insert_sweep_3d(jax.lax.complex(vr, vi), cw, rot, w,
-                               big=big, pf=2)
+    reps = 3
 
-    timeit("insert_sweep_3d (full)", f, vals_re, vals_im, ctf2w, rot, w_cls)
+    @jax.jit
+    def run_full(ro, vr, vi, cw, w):
+        # all operands are ARGUMENTS: closing over them embeds ~0.5 GB
+        # of constants in the program and overflows the tunnel's
+        # remote-compile request limit (HTTP 413)
+        def step(acc, i):
+            f, t = insert_sweep_3d(jax.lax.complex(vr, vi), cw,
+                                   ro + i * 1e-7, w, big=big, pf=2)
+            s = (jnp.sum(jnp.abs(jnp.real(f)))
+                 + jnp.sum(jnp.abs(jnp.imag(f))) + jnp.sum(t))
+            return acc + s.astype(jnp.float32), None
+        acc, _ = jax.lax.scan(
+            step, jnp.float32(0), jnp.arange(reps, dtype=jnp.float32))
+        return acc
+
+    np.asarray(run_full(rot, vals_re, vals_im, ctf2w, w_cls))
+    t0 = time.time()
+    np.asarray(run_full(rot, vals_re, vals_im, ctf2w, w_cls))
+    print(f"  insert_sweep_3d (full) {(time.time()-t0)/reps*1e3:9.1f} "
+          f"ms/iter", flush=True)
+    if len(sys.argv) > 2:
+        return   # custom radius: only the full-inserter timing
 
     # standalone height-pass variants on synthetic s1
     n_chunks = B // chunk

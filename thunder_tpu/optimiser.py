@@ -1700,6 +1700,9 @@ class Optimiser:
         # interpolation weights.  1.3 covers the per-phase perturbation
         # kick (perturb_r draws at a fraction of the cloud scale).
         spread_cells = float(np.quantile(dev, 0.98)) * 1.3             * cfg.pf * max(r_u, 1)
+        if os.environ.get("THUNDER_DEBUG_SPREAD"):
+            print(f"    [brick] spread={spread_cells:.2f} cells "
+                  f"r_u={r_u} mid={mid_round}", flush=True)
         # hysteresis + stickiness: ENTERING an uncompiled brick config
         # costs a fresh phase-loop compile, so it needs 20% margin
         # headroom; a config this process has already used (compiled,
@@ -1897,8 +1900,12 @@ class Optimiser:
         # band as noise — exactly the shells that activate when the
         # search radius grows next round.
         r_lo = min(int(self.model.r) + 3, cfg.max_r)
-        rings = pack_rings(cfg.size, r_lo, 0)
-        rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo)
+        # lane=512: these R=1 stages are matmul/reduction-bound, and
+        # coarse lane buckets keep their ring shapes stable across the
+        # per-round radii (r+3, r_norm, r_s) — each new shape recompiles
+        # the stage program (~minutes over the tunnel)
+        rings = pack_rings(cfg.size, r_lo, 0, lane=512)
+        rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo, lane=512)
         proj_stack = self._proj_stack(rings, kind=None)
         top_t = s.par.top_t - self.offset
         acc = None
@@ -2003,7 +2010,7 @@ class Optimiser:
         cfg = self.cfg
         r_norm = min(int(self.model.r), self.model.resolution_p(0.75))
         r_norm = max(r_norm, cfg.r_low + 2)
-        rings = pack_rings(cfg.size, r_norm, cfg.r_low)
+        rings = pack_rings(cfg.size, r_norm, cfg.r_low, lane=512)
         norms, _, _ = self._resid_stats(rings)        # (2, L)
         med = float(np.median(self._host(norms)[self.valid]))
         scale = jnp.sqrt(med / jnp.maximum(norms, 1e-30))
@@ -2050,7 +2057,7 @@ class Optimiser:
         if r_s is None:
             r_s = max(2, min(int(self.model.r),
                              cfg.res_a2p(cfg.sclCor_res)))
-        rings = pack_rings(cfg.size, r_s, 0)
+        rings = pack_rings(cfg.size, r_s, 0, lane=512)
         _, xa, aa = self._resid_stats(rings)          # (2, L)
         xa = xa * self.valid_dev
         aa = aa * self.valid_dev
