@@ -239,26 +239,39 @@ def test_optimiser_sharded_round_with_symmetry():
 def test_sharded_512px_memory():
     """512px-box reconstruction grids sharded over 8 devices: per-device
     shard bytes strictly below the full-volume size (the criterion that
-    makes ≥1000 px boxes reachable at all)."""
+    makes ≥1000 px boxes reachable at all).  The numeric
+    reconstruct+distributed-upsample run uses a 256px output box — the
+    identical code path with an affordable out^3 iFFT on the 1-core CPU
+    test host (the 512^3 output FFT alone is ~4 min there; on real
+    chips the distributed iFFT splits it d ways over ICI)."""
     from thunder_tpu.parallel.mesh import make_mesh
     from thunder_tpu.recon.sharded import (
         reconstruct_all_sharded,
         sharded_grid_specs,
     )
 
-    out_size, pf = 512, 2
-    grid_size = 128              # cropped reconstructor grid (r_u = 60)
-    big = grid_size * pf         # padded 256^3 grids
-    max_radius = 60
+    pf = 2
     mesh = make_mesh(8, hemi=2)
-
     spec = sharded_grid_specs(mesh)
+
+    # memory criterion at the 512px-box grid sizes (cropped
+    # reconstructor grid 128 -> padded 256^3 insertion grids)
+    big512 = 256
+    f512 = jax.device_put(
+        jnp.ones((2, 1, big512, big512, big512), jnp.complex64), spec)
+    full_bytes = big512 ** 3 * 8
+    assert max(s.data.nbytes
+               for s in f512.addressable_shards) <= full_bytes // 4
+    del f512
+
+    out_size = 256
+    grid_size = 128              # cropped reconstructor grid (r_u = 60)
+    big = grid_size * pf
+    max_radius = 60
     f = jax.device_put(
         jnp.ones((2, 1, big, big, big), jnp.complex64), spec)
     t = jax.device_put(
         jnp.full((2, 1, big, big, big), 2.0, jnp.float32), spec)
-    full_bytes = big ** 3 * 8
-    assert max(s.data.nbytes for s in f.addressable_shards) <= full_bytes // 4
 
     fsc = jnp.linspace(1.0, 0.3, out_size // 2)[None]
     with mesh:

@@ -247,10 +247,54 @@ def reconstruct_all_sharded(mesh, f2, t2, fsc_all, grid_size: int, pf: int,
         r = radial_grid_dev(grid_size, 3) / (pf * grid_size)
         vol = vol / tik_rl(r).astype(jnp.float32)
     if grid_size != out_size:
-        from thunder_tpu.ops.fourier import resize_rl
+        # Distributed upsample.  Left to GSPMD (or run whole per hemi
+        # device) the out_size^3 iFFT is compile-hostile and repeats the
+        # full FFT on every data-axis replica; instead each device
+        # builds its own z-slab of the zero-padded WRAPPED spectrum
+        # from the (small, cheap) grid_size^3 FFT and the existing
+        # distributed iFFT runs at out_size — per-device work and
+        # memory are out^3/d, the big-box criterion this module exists
+        # for.  Coefficient-preserving, identical to
+        # ops.fourier.resize_rl(preserve="coefficients").
+        vol = shard_map(
+            partial(_upsample_slab_body, g=grid_size, out=out_size, d=d),
+            mesh=mesh, in_specs=P("hemi"),
+            out_specs=P("hemi", None, "data"),
+        )(vol)
+        # downstream consumers (cross-hemisphere FSC, masking, the
+        # projection-table build) run on whole references — one
+        # all-gather of the final f32 volume restores the module
+        # contract (replicated over data); the heavy complex
+        # intermediates above never left their slabs
+        from jax.sharding import NamedSharding
 
-        vol = jax.vmap(jax.vmap(lambda v: resize_rl(v, out_size)))(vol)
+        vol = jax.device_put(vol, NamedSharding(mesh, P("hemi")))
     return vol
+
+
+def _upsample_slab_body(v, g: int, out: int, d: int):
+    """shard_map body: v (1, K, g, g, g) real (this hemisphere,
+    replicated over the data axis) -> this device's z-slab
+    (1, K, out/d, out, out) of the Fourier-upsampled volume.
+
+    The centered zero-pad of resize_rl places small freqs
+    [-g/2, g/2) into the out-box; in wrapped layout that is
+    w < g/2 -> ws = w and w >= out - g/2 -> ws = w - out + g."""
+    bz = out // d
+    ft = jnp.fft.fftn(v, axes=(-3, -2, -1))
+
+    def axis_map(w):
+        idx = jnp.where(w < g // 2, w, w - out + g)
+        valid = (w < g // 2) | (w >= out - g // 2)
+        return jnp.clip(idx, 0, g - 1), valid
+
+    j = jax.lax.axis_index("data")
+    iz, vz = axis_map(j * bz + jnp.arange(bz))
+    iy, vy = axis_map(jnp.arange(out))
+    sel = ft[:, :, iz][:, :, :, iy][:, :, :, :, iy]
+    mask = (vz[:, None, None] & vy[None, :, None] & vy[None, None, :])
+    x = jnp.where(mask, sel, 0j)
+    return jnp.real(_fft3_dist(x, d, inverse=True))
 
 
 def insert_sweep_3d_sharded(mesh, vals, ctf2w, rot, w_cls, big: int,
