@@ -57,14 +57,30 @@ def main():
 
     if a.mode == "2D":
         ky, kx = np.meshgrid(kv, kv, indexing="ij")
+        rr = np.hypot(kx, ky)
         temps = []
         for t in range(k):
             img = np.zeros((size, size), np.float32)
-            for _ in range(3 + t):
-                ox, oy = rng.uniform(-size / 6, size / 6, 2)
-                s = rng.uniform(size / 24, size / 12)
-                img += np.exp(-((kx - ox) ** 2 + (ky - oy) ** 2) / (2 * s * s))
-            temps.append(img)
+            if t % 3 == 0:
+                # bar: blobs along one axis (elongated second moment)
+                for ox in np.linspace(-size / 4, size / 4, 5):
+                    img += np.exp(-((kx - ox) ** 2 + ky ** 2)
+                                  / (2 * (size / 16) ** 2))
+            elif t % 3 == 1:
+                # annulus: mass at a fixed radius, all angles
+                img = np.exp(-((rr - size / 4) ** 2)
+                             / (2 * (size / 20) ** 2)).astype(np.float32)
+            else:
+                # compact disc: mass concentrated at the centre
+                img = np.exp(-(rr ** 2) / (2 * (size / 10) ** 2)
+                             ).astype(np.float32)
+            # per-class high-frequency texture on top of the gross shape
+            for _ in range(3):
+                ox, oy = rng.uniform(-size / 5, size / 5, 2)
+                s = rng.uniform(size / 28, size / 16)
+                img += 0.6 * np.exp(-((kx - ox) ** 2 + (ky - oy) ** 2)
+                                    / (2 * s * s))
+            temps.append(img.astype(np.float32))
         from scipy.ndimage import rotate, shift
 
         ctf_imgs = np.asarray(ctf_image(params, size, 1.32))

@@ -10,7 +10,7 @@ from thunder_tpu.model import SEARCH_TYPE_CTF
 
 size, n = 128, 256
 rng = np.random.default_rng(0)
-vol, imgs = make_dataset(size, n, rng)
+vol, imgs, _ctf_cols, _quats, _trans = make_dataset(size, n, rng)
 cfg = ThunderConfig(
     mode="3D", k=1, size=size, pixel_size=1.32,
     mask_radius=size*1.32/2*0.9, trans_s=3.0, init_res=12.0,

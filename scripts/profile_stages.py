@@ -25,7 +25,7 @@ def main():
     _enable_compile_cache()
 
     rng = np.random.default_rng(0)
-    vol, imgs = make_dataset(size, n, rng)
+    vol, imgs, _ctf_cols, _quats, _trans = make_dataset(size, n, rng)
     cfg = ThunderConfig(
         mode="3D", k=1, size=size, pixel_size=1.32,
         mask_radius=size * 1.32 / 2 * 0.9,

@@ -1710,7 +1710,11 @@ class Optimiser:
         # Prevents the enter/leave flip-flop seen at 256px, where every
         # flip re-paid a compile.
         prev = self._round_brick
-        for span, stride in ((5, 2), (7, 3), (9, 4)):
+        # ladder: (5,2) is ~2x faster than (7,3) per phase-gather and
+        # (9,4) was only ever engaged transiently before tightening to
+        # (7,3) — at 12 s compile per program variant through the
+        # remote backend, the wide rung cost more than it ever saved
+        for span, stride in ((5, 2), (7, 3)):
             margin = spread_margin(span, stride)
             known = (prev == (span, stride)
                      or (span, stride) in self._brick_used)
@@ -1851,13 +1855,19 @@ class Optimiser:
         par = s.par
         phases_done = 0
         switches = 0
+        dbg = os.environ.get("THUNDER_DEBUG_CHUNK")
         while True:
+            t_c = time.time()
             nxt = (min(phases_done + chunk, MAX_N_PHASE_PER_ITER)
                    if midround else MAX_N_PHASE_PER_ITER)
             par, phase, n_no_dec, prev = run_chunk(par, nxt, loop_state)
             if nxt >= MAX_N_PHASE_PER_ITER:
                 break
             ph, nnd = self._host(phase), self._host(n_no_dec)
+            if dbg:
+                print(f"    [chunk] ->{nxt} table="
+                      f"{self._round_brick or 'oct'} ph={list(ph)} "
+                      f"{(time.time() - t_c) * 1e3:.0f} ms", flush=True)
             done = (ph >= MAX_N_PHASE_PER_ITER) | (
                 (ph >= min_phase)
                 & (nnd >= N_PHASE_WITH_NO_VARI_DECREASE))
@@ -1866,6 +1876,11 @@ class Optimiser:
             phases_done = int(ph.max())
             loop_state = (phase, n_no_dec, prev)
             s.par = par
+            if self._round_brick is not None:
+                # engaged: later boundaries only serve rare tightening
+                # decisions — grow the chunk geometrically so a long
+                # round pays O(log) host syncs instead of O(phases/4)
+                chunk *= 2
             new_brick = self._brick_choice(rings.r_u, mid_round=True)
             cur = self._round_brick
             # engage brick once the spread fits; afterwards only
@@ -2358,6 +2373,17 @@ class Optimiser:
                 _mark("global_search")
                 self.adopt_global(g)
                 _mark("adopt_global")
+                # steady-state global rounds adopt already-tight clouds
+                # (the top grid points dominate): re-evaluate the brick
+                # choice on the POST-adoption state so the whole phase
+                # loop runs on the brick table instead of waiting for
+                # the first chunk boundary (~1.1 s of corner-row phases
+                # per round at 256px)
+                if self._round_brick is None:
+                    self._round_brick = self._brick_choice(
+                        rings.r_u, mid_round=True)
+                    if self._round_brick:
+                        self._brick_used.add(self._round_brick)
             record["n_phases"] = self.local_phases(rings)
             if self._round_brick:
                 # may have engaged mid-round (chunked phase driver)
