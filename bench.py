@@ -131,40 +131,76 @@ def run(size=128, n=256, n_rounds=N_TIMED_ROUNDS):
     ctf = ctf_params(*ctf_cols)
     opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64), init_refs=vol)
 
-    # Warm-up: run rounds until the projection-table mode stabilises
-    # (the brick table engages once the rotation clouds tighten, and its
-    # phase-loop program pays a one-time compile through the remote
-    # backend).  Real refinements run 20-45 rounds, so steady-state
-    # rounds are the representative cost; n_warmup is reported.
     print(f"bench {size}px: warm-up rounds (compiling)...",
           file=sys.stderr, flush=True)
-    prev_table = None
+    n_warmup, last_table = _warmup(opt)
+    return _timed_rounds(opt, n_warmup, last_table, n_rounds, n,
+                         f"{size}px")
+
+
+def _warmup(opt, max_warm=6):
+    """Run rounds until the round program stabilises: same projection-
+    table mode as the previous round AND no fresh-compile blowup (round
+    time within 2x of the previous round).  The brick table engages
+    once the rotation clouds tighten and its phase-loop program pays a
+    one-time compile through the remote backend; real refinements run
+    20-45 rounds, so steady-state rounds are the representative cost.
+    Returns (n_warmup, last_table); n_warmup is reported in the bench
+    JSON."""
+    prev_table, prev_dt = None, None
     n_warmup = 0
-    for w in range(4):
+    for w in range(max_warm):
+        t0 = time.time()
         rec = opt.run_round(w)
+        dt = time.time() - t0
         n_warmup += 1
         tab = rec.get("proj_table", "oct-half")
-        if w >= 1 and tab == prev_table:
+        if (w >= 1 and tab == prev_table
+                and dt < 2.0 * prev_dt):
             break
-        prev_table = tab
-    rounds = []
-    for i in range(n_warmup, n_warmup + n_rounds):
-        print(f"bench {size}px: timing round {i}...",
+        prev_table, prev_dt = tab, dt
+    # on break tab == prev_table; when exhausted prev_table was just set
+    return n_warmup, prev_table
+
+
+def _timed_rounds(opt, n_warmup, last_table, n_rounds, n, label):
+    """Time ``n_rounds`` steady-state rounds.  A round whose projection
+    table mode differs from the previous round's pays a fresh phase-loop
+    compile (the brick table can engage mid-refinement, after warm-up
+    already stabilised); such rounds are recorded with
+    ``fresh_table: true`` but excluded from the throughput mean, and an
+    extra round is run in their place (bounded by ``n_rounds + 2``
+    total)."""
+    rounds, steady = [], []
+    prev_table = last_table
+    i = n_warmup
+    while len(steady) < n_rounds and len(rounds) < n_rounds + 2:
+        print(f"bench {label}: timing round {i}...",
               file=sys.stderr, flush=True)
         t0 = time.time()
         rec = opt.run_round(i)
         dt = time.time() - t0
-        rounds.append({
+        tab = rec.get("proj_table", "oct-half")
+        row = {
             "round": i,
             "img_per_sec": round(n / dt, 3),
             "seconds": round(dt, 3),
             "n_phases": rec.get("n_phases"),
             "search_type": rec.get("search_type"),
-            "proj_table": rec.get("proj_table", "oct-half"),
+            "proj_table": tab,
             "r": rec.get("r"),
-        })
+        }
+        if tab != prev_table:
+            row["fresh_table"] = True
+        else:
+            steady.append(row)
+        rounds.append(row)
+        prev_table = tab
+        i += 1
     rounds[0]["n_warmup"] = n_warmup
-    mean_ips = n * len(rounds) / sum(r["seconds"] for r in rounds)
+    if not steady:          # table flip-flopped every round: use them all
+        steady = rounds
+    mean_ips = n * len(steady) / sum(r["seconds"] for r in steady)
     return mean_ips, rounds
 
 
@@ -206,34 +242,9 @@ def run_local(size=128, n=256, n_rounds=2):
 
     print(f"bench {size}px local: warm-up rounds (compiling)...",
           file=sys.stderr, flush=True)
-    prev_table = None
-    n_warmup = 0
-    for w in range(4):
-        rec = opt.run_round(w)
-        n_warmup += 1
-        tab = rec.get("proj_table", "oct-half")
-        if w >= 1 and tab == prev_table:
-            break
-        prev_table = tab
-    rounds = []
-    for i in range(n_warmup, n_warmup + n_rounds):
-        print(f"bench {size}px local: timing round {i}...",
-              file=sys.stderr, flush=True)
-        t0 = time.time()
-        rec = opt.run_round(i)
-        dt = time.time() - t0
-        rounds.append({
-            "round": i,
-            "img_per_sec": round(n / dt, 3),
-            "seconds": round(dt, 3),
-            "n_phases": rec.get("n_phases"),
-            "search_type": rec.get("search_type"),
-            "proj_table": rec.get("proj_table", "oct-half"),
-            "r": rec.get("r"),
-        })
-    rounds[0]["n_warmup"] = n_warmup
-    mean_ips = n * len(rounds) / sum(r["seconds"] for r in rounds)
-    return mean_ips, rounds
+    n_warmup, last_table = _warmup(opt)
+    return _timed_rounds(opt, n_warmup, last_table, n_rounds, n,
+                         f"{size}px local")
 
 
 def main():

@@ -23,7 +23,8 @@ from thunder_tpu.ops.fourier import pack_rings
 from thunder_tpu.ops.projector import oct_pack, project_classed, ri_split
 
 
-@pytest.mark.parametrize("span,stride", [(5, 2), (7, 3), (9, 4)])
+@pytest.mark.parametrize("span,stride", [(4, 1), (5, 2), (6, 2), (7, 3),
+                                         (9, 4)])
 def test_brick_matches_oct_within_margin(span, stride):
     rng = np.random.default_rng(0)
     B, K, L, R = 48, 2, 8, 16
@@ -90,7 +91,7 @@ def _mini_opt(brick_force):
     opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64),
                     init_refs=phantom, resume_thu=thu)
     if brick_force is not None:
-        opt._brick_choice = lambda r_u: brick_force
+        opt._brick_choice = lambda r_u, **kw: brick_force
     return opt, _DS["d"][2]
 
 
@@ -125,3 +126,38 @@ def test_brick_round_reproduces_oct_round():
     assert res["brick"][0] < 11.0, res
     assert abs(res["oct"][0] - res["brick"][0]) < 4.0, res
     assert abs(res["oct"][1] - res["brick"][1]) < 2.0, res
+
+
+def test_brick_ladder_policy():
+    """The rung ladder picks the fastest config whose margin covers the
+    measured spread AND whose table fits the byte budget; over-budget
+    rungs fall through to coarser strides."""
+    import thunder_tpu.optimiser as om
+    from thunder_tpu.ops.brick import table_bytes
+
+    opt, _ = _mini_opt(None)
+    # synthetically concentrated clouds (the tiny test box's posterior
+    # is intrinsically ~10 deg wide, far beyond any brick margin):
+    # every support point within ~0.1 deg of the per-image mean
+    par = opt.state.par
+    r = np.asarray(par.r)
+    tight = r[:, :, :1, :] + 1e-3 * np.asarray(
+        np.random.default_rng(0).standard_normal(r.shape), np.float32)
+    tight /= np.linalg.norm(tight, axis=-1, keepdims=True)
+    opt.state.par = par._replace(r=jnp.asarray(tight))
+    r_u = 8
+    crop = om._proj_crop_size(opt.cfg.size, opt.cfg.pf, r_u)
+    # tight clouds: the fastest rung wins outright
+    assert opt._brick_choice(r_u, mid_round=True) == (4, 1)
+
+    budget0 = om.BRICK_TABLE_BUDGET
+    try:
+        # squeeze out stride-1: (4,1) is the largest table of the
+        # ladder, (5,2) the smallest
+        om.BRICK_TABLE_BUDGET = table_bytes(4, 1, crop) - 1
+        assert opt._brick_choice(r_u, mid_round=True) == (5, 2)
+        # nothing fits: corner-row round
+        om.BRICK_TABLE_BUDGET = 0
+        assert opt._brick_choice(r_u, mid_round=True) is None
+    finally:
+        om.BRICK_TABLE_BUDGET = budget0

@@ -61,6 +61,17 @@ def spread_margin(span: int, stride: int) -> float:
     return (span - 1) / 2.0 - stride / 2.0
 
 
+def table_bytes(span: int, stride: int, b: int, k_cls: int = 1) -> int:
+    """Brick-table size (bytes) for a b^3 source cube: the host-side
+    memory guard the round driver uses before committing to a stride-1
+    rung (the fast rungs trade HBM for gather rows)."""
+    g = guard_planes(span, stride)
+    c = b // 2
+    nz = ny = (b + stride - 1) // stride
+    nx = (g + c + stride - 1) // stride
+    return k_cls * nz * ny * nx * _row_width(span) * 4
+
+
 def brick_pack_half(packed: jax.Array, span: int = 8,
                     stride: int = 4) -> jax.Array:
     """uint32 ri-word spectra (K, B, B, B) centered -> brick rows.

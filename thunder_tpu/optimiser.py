@@ -92,6 +92,13 @@ PARTICLE_FILTER_DECREASE_FACTOR = 0.95  # include/Optimiser.h:60
 
 _ROT_BLOCK = 256  # rotations per MXU block in global search
 
+# Ceiling on a round's brick projection table (all classes).  The
+# fastest rungs anchor a brick at every cell (stride 1), costing up to
+# 256 B per table voxel — worth it for the gather-row cut, but only
+# while the table (plus its same-sized build intermediates) stays a
+# modest slice of the 16 GB v5e HBM next to ft_masked and the grids.
+BRICK_TABLE_BUDGET = 2 << 30
+
 
 def _slice_l(params, sl: slice):
     """Slice every field of a (2, L)-leading pytree along L."""
@@ -1710,11 +1717,21 @@ class Optimiser:
         # Prevents the enter/leave flip-flop seen at 256px, where every
         # flip re-paid a compile.
         prev = self._round_brick
-        # ladder: (5,2) is ~2x faster than (7,3) per phase-gather and
-        # (9,4) was only ever engaged transiently before tightening to
-        # (7,3) — at 12 s compile per program variant through the
-        # remote backend, the wide rung cost more than it ever saved
-        for span, stride in ((5, 2), (7, 3)):
+        # ladder, fastest first with monotone margins (measured at
+        # 256px r=28, L=128, scripts/micro_brick.py: corner-row 124 ms,
+        # (4,1) 16.4, (5,2) 24.9, (6,2) 34.4, (7,3) 47.9 ms/phase-
+        # gather).  Stride-1 and even-span rungs trade HBM for gather
+        # rows (one brick per cell / tighter windows), so each rung is
+        # admitted only if its table fits the byte budget; the (9,4)
+        # rung is gone — it only ever engaged transiently before
+        # tightening, and at 12 s compile per program variant through
+        # the remote backend it cost more than it saved.
+        from thunder_tpu.ops.brick import table_bytes
+
+        crop = _proj_crop_size(cfg.size, cfg.pf, r_u)
+        for span, stride in ((4, 1), (5, 2), (6, 2), (7, 3)):
+            if table_bytes(span, stride, crop, cfg.k) > BRICK_TABLE_BUDGET:
+                continue
             margin = spread_margin(span, stride)
             known = (prev == (span, stride)
                      or (span, stride) in self._brick_used)
