@@ -96,6 +96,18 @@ def height_variant(form: str, chunk: int, ch: int, big: int, nk: int):
                 out = jnp.einsum("baml,bcml->amcl", wz.astype(jnp.bfloat16),
                                  s1c.astype(jnp.bfloat16),
                                  preferred_element_type=jnp.float32)
+            elif form == "merged_fp8_wz":
+                # wz in fp8 (values in [0, 0.5]); s1c stays bf16 — tests
+                # whether the upcast fuses into the dot operand load
+                out = jnp.einsum("bcml,baml->mlca", s1c.astype(jnp.bfloat16),
+                                 wz.astype(jnp.float8_e4m3fn
+                                           ).astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+            elif form == "merged_fp8_both":
+                out = jnp.einsum("bcml,baml->mlca",
+                                 s1c.astype(jnp.float8_e4m3fn),
+                                 wz.astype(jnp.float8_e4m3fn),
+                                 preferred_element_type=jnp.float32)
             return acc + out, 0.0
 
         if form == "old":
@@ -204,10 +216,13 @@ def main():
     bec2 = jnp.asarray(rng.uniform(-1, 1, (n_chunks, chunk)), jnp.float32)
     case = jax.nn.one_hot(
         jnp.asarray(rng.integers(0, 3, (n_chunks, chunk))), 3)
-    for form in ("old", "merged_f32_caml", "merged_bf16_caml",
-                 "merged_bf16_mlca", "merged_bf16_amcl"):
+    for form in ("merged_bf16_mlca", "merged_fp8_wz", "merged_fp8_both"):
         fn = height_variant(form, chunk, ch, big, nk)
-        timeit(f"height[{form}]", fn, s1_all, alc2, bec2, case)
+        try:
+            timeit(f"height[{form}]", fn, s1_all, alc2, bec2, case)
+        except Exception as e:
+            print(f"  height[{form}]  FAILED: {type(e).__name__}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -1893,24 +1893,19 @@ class Optimiser:
             phases_done = int(ph.max())
             loop_state = (phase, n_no_dec, prev)
             s.par = par
-            if self._round_brick is not None:
-                # engaged: later boundaries only serve rare tightening
-                # decisions — grow the chunk geometrically so a long
-                # round pays O(log) host syncs instead of O(phases/4)
-                chunk *= 2
             new_brick = self._brick_choice(rings.r_u, mid_round=True)
-            cur = self._round_brick
-            # engage brick once the spread fits; afterwards only
-            # TIGHTEN to a faster (smaller-span) config this process
-            # has already compiled, at most twice per round
-            if (new_brick is not None and new_brick != cur
-                    and switches < 2
-                    and (cur is None
-                         or (new_brick in self._brick_used
-                             and new_brick[0] < cur[0]))):
+            if new_brick is not None and switches < 2:
                 self._round_brick = new_brick
                 self._brick_used.add(new_brick)
                 switches += 1
+            if self._round_brick is not None:
+                # engaged: the engagement choice already picked the
+                # fastest admissible rung for the measured spread, and
+                # every further boundary costs a tunnel round-trip +
+                # host spread pull (~150-300 ms) for a tightening
+                # opportunity worth ~30 ms/phase at best — run the rest
+                # of the loop as ONE dispatch
+                midround = False
 
         par = _finish_phases_h(par, self.sym.quats, self.mode,
                                self.sym.order > 1 and not cfg.mode_2d)
