@@ -133,9 +133,8 @@ def run(size=128, n=256, n_rounds=N_TIMED_ROUNDS):
 
     print(f"bench {size}px: warm-up rounds (compiling)...",
           file=sys.stderr, flush=True)
-    n_warmup, last_table = _warmup(opt)
-    return _timed_rounds(opt, n_warmup, last_table, n_rounds, n,
-                         f"{size}px")
+    n_warmup, seen = _warmup(opt)
+    return _timed_rounds(opt, n_warmup, seen, n_rounds, n, f"{size}px")
 
 
 def _warmup(opt, max_warm=6):
@@ -145,34 +144,37 @@ def _warmup(opt, max_warm=6):
     once the rotation clouds tighten and its phase-loop program pays a
     one-time compile through the remote backend; real refinements run
     20-45 rounds, so steady-state rounds are the representative cost.
-    Returns (n_warmup, last_table); n_warmup is reported in the bench
+    Returns (n_warmup, seen_tables); n_warmup is reported in the bench
     JSON."""
     prev_table, prev_dt = None, None
     n_warmup = 0
+    seen = set()
     for w in range(max_warm):
         t0 = time.time()
         rec = opt.run_round(w)
         dt = time.time() - t0
         n_warmup += 1
         tab = rec.get("proj_table", "oct-half")
+        seen.add(tab)
         if (w >= 1 and tab == prev_table
                 and dt < 2.0 * prev_dt):
             break
         prev_table, prev_dt = tab, dt
-    # on break tab == prev_table; when exhausted prev_table was just set
-    return n_warmup, prev_table
+    return n_warmup, seen
 
 
-def _timed_rounds(opt, n_warmup, last_table, n_rounds, n, label):
+def _timed_rounds(opt, n_warmup, warm_seen, n_rounds, n, label):
     """Time ``n_rounds`` steady-state rounds.  A round whose projection
-    table mode differs from the previous round's pays a fresh phase-loop
-    compile (the brick table can engage mid-refinement, after warm-up
-    already stabilised); such rounds are recorded with
+    table mode was never used before in this process pays a fresh
+    phase-loop compile (the brick rung can first engage mid-refinement,
+    after warm-up already stabilised); such rounds are recorded with
     ``fresh_table: true`` but excluded from the throughput mean, and an
     extra round is run in their place (bounded by ``n_rounds + 2``
-    total)."""
+    total).  Switching BETWEEN already-compiled modes is free (the
+    programs are cached) and those rounds count — the rung choice
+    legitimately tracks the per-round cloud spread."""
     rounds, steady = [], []
-    prev_table = last_table
+    seen = set(warm_seen)
     i = n_warmup
     while len(steady) < n_rounds and len(rounds) < n_rounds + 2:
         print(f"bench {label}: timing round {i}...",
@@ -190,12 +192,12 @@ def _timed_rounds(opt, n_warmup, last_table, n_rounds, n, label):
             "proj_table": tab,
             "r": rec.get("r"),
         }
-        if tab != prev_table:
+        if tab not in seen:
             row["fresh_table"] = True
         else:
             steady.append(row)
         rounds.append(row)
-        prev_table = tab
+        seen.add(tab)
         i += 1
     rounds[0]["n_warmup"] = n_warmup
     if not steady:          # table flip-flopped every round: use them all
@@ -242,8 +244,8 @@ def run_local(size=128, n=256, n_rounds=2):
 
     print(f"bench {size}px local: warm-up rounds (compiling)...",
           file=sys.stderr, flush=True)
-    n_warmup, last_table = _warmup(opt)
-    return _timed_rounds(opt, n_warmup, last_table, n_rounds, n,
+    n_warmup, seen = _warmup(opt)
+    return _timed_rounds(opt, n_warmup, seen, n_rounds, n,
                          f"{size}px local")
 
 

@@ -216,6 +216,10 @@ def main():
     bec2 = jnp.asarray(rng.uniform(-1, 1, (n_chunks, chunk)), jnp.float32)
     case = jax.nn.one_hot(
         jnp.asarray(rng.integers(0, 3, (n_chunks, chunk))), 3)
+    # fp8 einsums raise TypeError on this jax/XLA (and v5e's MXU is
+    # bf16/int8 anyway) — kept to re-test on future toolchains; the
+    # production form is merged_bf16_mlca (measured 141 ms at B=12800,
+    # within ~20% of the wz-traffic floor)
     for form in ("merged_bf16_mlca", "merged_fp8_wz", "merged_fp8_both"):
         fn = height_variant(form, chunk, ch, big, nk)
         try:

@@ -1636,7 +1636,13 @@ class Optimiser:
         run_round), the single table built here is the brick table and
         every projecting stage passes the same brick statics."""
         cfg = self.cfg
-        crop = _proj_crop_size(cfg.size, cfg.pf, rings.r_u)
+        # build at the ROUND's max gather radius (r_sig = r+3), not the
+        # requesting stage's: a mid-round brick engagement that built at
+        # the phase rings' crop(r) would leave next round's round-start
+        # engagement (crop(r+3)) a DIFFERENT static shape — a second
+        # multi-second phase-program compile and table build per rung
+        r_tab = max(rings.r_u, getattr(self, "_round_r_sig", 0))
+        crop = _proj_crop_size(cfg.size, cfg.pf, r_tab)
         if refs is not None:
             return _prepare_projectee_stack_h(refs, cfg.size, cfg.pf,
                                               cfg.mode_2d, crop)
@@ -1856,7 +1862,19 @@ class Optimiser:
         # chunks, so the stopping rule is identical to the monolithic
         # loop; min/max phase are traced, so every chunk reuses one
         # compilation per table kind.
-        chunk = int(os.environ.get("THUNDER_PHASE_CHUNK", "4"))
+        # Local/CTF rounds run only MIN_N_PHASE_PER_ITER_LOCAL(3)-6
+        # phases (carried tight clouds stall the variance rule almost
+        # immediately), so a chunk-4 boundary usually lands after the
+        # loop is already done and the whole round runs corner-row even
+        # though the cloud re-tightens within 1-2 phases of the round's
+        # first resample (the round-START spread breathes with the
+        # perturbation floor, measured 0.3-3 cells round-over-round at
+        # 256px).  A 2-phase first boundary costs one tunnel round-trip
+        # (~150 ms) and saves 1-4 corner-row phases (~470 ms each at
+        # r=42).  Global rounds keep chunk 4: their adopted clouds need
+        # ~4 phases to collapse below any brick margin.
+        default_chunk = 4 if self.model.search_type == SEARCH_TYPE_GLOBAL else 2
+        chunk = int(os.environ.get("THUNDER_PHASE_CHUNK", default_chunk))
         # chunking pays only where the corner-row gather dominates the
         # phase cost — big tables (the measured brick-vs-oct crossover;
         # at 128px warm brick ~ oct-half, so chunk syncs would be pure
@@ -2370,6 +2388,7 @@ class Optimiser:
         # r_norm <= r, sigma) reuses it (a per-stage rebuild costs
         # seconds at big boxes)
         r_sig = min(int(self.model.r) + 3, cfg.max_r)
+        self._round_r_sig = r_sig       # all tables this round: crop(r_sig)
         self._round_brick = self._brick_choice(r_sig)
         if self._round_brick:
             record["proj_table"] = "brick%s" % (self._round_brick,)
