@@ -28,6 +28,13 @@ def main():
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--snr", type=float, default=3.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ctf-error", type=float, default=0.0,
+                   help="simulate CTF estimation error: the images are "
+                        "formed with the TRUE defocus but the .thu "
+                        "records defocus/(1+ctf_error), and the emitted "
+                        "config turns CTF Search on — the defocus-factor "
+                        "search should recover d ~ 1+ctf_error "
+                        "(reference: demo.json CTF Search workload)")
     a = p.parse_args()
 
     import jax
@@ -124,8 +131,22 @@ def main():
         truth = np.zeros(n, np.int64)
 
     t = ThuTable.blank(n, voltage=300e3)
-    t.defocus_u = np.asarray(params.defocus_u)
-    t.defocus_v = np.asarray(params.defocus_v)
+    if a.ctf_error and a.mode == "3D":
+        # the CTF-search workload resumes from (near-)true poses with
+        # Global Search off, so both frameworks traverse
+        # LOCAL -> CTF_SEARCH quickly and the defocus factor is the
+        # free variable under test
+        t.quat = np.asarray(quats)
+        t.trans = np.asarray(trans)
+        t.std_trans = np.full((n, 2), 0.3)
+        t.k1 = np.full(n, 3e-6)
+        t.k2 = np.full(n, 3e-6)
+        t.k3 = np.full(n, 3e-6)
+    # with --ctf-error the IMAGES carry the true defocus (params) while
+    # the .thu records a misestimated one; the defocus-factor search
+    # (CTF Search) should recover d ~ 1+ctf_error on both frameworks
+    t.defocus_u = np.asarray(params.defocus_u) / (1.0 + a.ctf_error)
+    t.defocus_v = np.asarray(params.defocus_v) / (1.0 + a.ctf_error)
     t.defocus_theta = np.asarray(params.defocus_theta)
     t.cs = np.asarray(params.cs)
     t.amplitude_contrast = np.asarray(params.amplitude_contrast)
@@ -141,9 +162,9 @@ def main():
         "Basic": {
             "Number of Threads Per Process": os.cpu_count() or 4,
             "2D or 3D Mode": a.mode,
-            "Global Search": True,
+            "Global Search": not (a.ctf_error and a.mode == "3D"),
             "Local Search": True,
-            "CTF Search": False,
+            "CTF Search": a.ctf_error != 0.0,
             "Number of Classes": k if a.mode == "2D" else 1,
             "Size of Image": size,
             "Pixel Size (Angstrom)": 1.32,

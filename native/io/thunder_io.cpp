@@ -28,24 +28,28 @@ extern "C" {
 
 // ---------------------------------------------------------------- .thu
 
-// Count data lines in a .thu file.
+// Count data lines in a .thu file.  Lines whose first non-space char
+// is '#' are comments: the reference writes them as column headers in
+// saved Meta_Round_xxx.thu files and strips them on read
+// (Database.cpp:66-85) — resuming from one must work here too.
 long thu_count(const char* path) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     long n = 0;
-    int c, prev = '\n';
+    int c;
     bool line_has_content = false;
+    bool is_comment = false;
     while ((c = fgetc(f)) != EOF) {
         if (c == '\n') {
-            if (line_has_content) n++;
+            if (line_has_content && !is_comment) n++;
             line_has_content = false;
+            is_comment = false;
         } else if (c != ' ' && c != '\t' && c != '\r') {
+            if (!line_has_content && c == '#') is_comment = true;
             line_has_content = true;
         }
-        prev = c;
     }
-    if (line_has_content) n++;
-    (void)prev;
+    if (line_has_content && !is_comment) n++;
     fclose(f);
     return n;
 }
@@ -66,6 +70,8 @@ long thu_parse(const char* path, double* numeric, char* paths,
     long pofs = 0;
     while (fgets(line, sizeof line, f)) {
         char* s = line;
+        while (*s == ' ' || *s == '\t' || *s == '\r') s++;
+        if (*s == '#') continue;         // comment line (see thu_count)
         int col = 0;
         int ncol = 0;
         double* out = numeric + row * 25;

@@ -17,6 +17,7 @@ Writes <workdir>/parity_report.json and prints a per-round table.
 """
 
 import argparse
+import glob
 import json
 import os
 import shutil
@@ -71,6 +72,11 @@ def main():
     p.add_argument("--m-s", type=int, default=500)
     p.add_argument("--m-reco", type=int, default=30)
     p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--ctf-error", type=float, default=0.0,
+                   help="CTF-search parity workload: images carry the "
+                        "true defocus, the .thu a misestimate; both "
+                        "frameworks run with CTF Search on "
+                        "(reference demo.json workload)")
     p.add_argument("--skip-ref", action="store_true",
                    help="reuse an existing output_ref")
     a = p.parse_args()
@@ -86,7 +92,8 @@ def main():
         sh([sys.executable,
             os.path.join(REPO, "examples", "make_synthetic_demo.py"), wd,
             "--mode", a.mode, "--n", str(a.n), "--size", str(a.size),
-            "--k", str(a.k), "--snr", "3.0"])
+            "--k", str(a.k), "--snr", "3.0",
+            "--ctf-error", str(a.ctf_error)])
     cfg_path = os.path.join(wd, "demo.json")
     cfg = json.load(open(cfg_path))
     cfg["Basic"]["Number of Threads Per Process"] = a.threads or 1
@@ -138,6 +145,21 @@ def main():
         rows.append({"round": i, "ref_shell": r, "tpu_shell": t})
         print(f"{i:5d}  {r!s:>15}  {t!s:>15}")
     report["rounds"] = rows
+    if a.ctf_error:
+        # the defocus-factor column of the final .thu should recover
+        # ~1+ctf_error on both frameworks (Particle::rand d-draws /
+        # saveDatabase col 25)
+        sys.path.insert(0, REPO)
+        from thunder_tpu.io.thu import read_thu
+
+        for tag, d in (("ref", ref_out), ("tpu", tpu_out)):
+            metas = sorted(glob.glob(os.path.join(d, "Meta_Round_*.thu")))
+            if metas:
+                tbl = read_thu(metas[-1])
+                med = float(np.median(np.asarray(tbl.defocus_factor)))
+                report[f"{tag}_defocus_factor_median"] = med
+                print(f"{tag}: median defocus factor {med:.4f} "
+                      f"(truth {1 + a.ctf_error:.4f})")
     last = rows[-1] if rows else {}
     if last.get("ref_shell") is not None and last.get("tpu_shell") is not None:
         report["final_shell_diff"] = abs(last["ref_shell"] - last["tpu_shell"])

@@ -53,3 +53,32 @@ def test_native_mrc_matches_python(tmp_path, have_native):
     nat_raw = native.read_mrc_slices_native(path, idx, shift=False)
     py_raw = f.read_slices(idx, shift=False)
     np.testing.assert_allclose(nat_raw, py_raw, atol=1e-6)
+
+
+def test_thu_comment_lines_skipped(tmp_path, have_native):
+    """The reference writes '#'-comment column headers into saved
+    Meta_Round_xxx.thu files and strips them on read
+    (Database.cpp:66-85); resuming from one must work on both the
+    python and the native parser."""
+    t = ThuTable.blank(3)
+    t.particle_path = [f"{i + 1:04d}@stack.mrcs" for i in range(3)]
+    t.micrograph_path = ["mic.mrc"] * 3
+    rng = np.random.default_rng(2)
+    t.quat = rng.normal(size=(3, 4))
+    path = str(tmp_path / "t.thu")
+    write_thu(path, t)
+    lines = open(path).read().splitlines()
+    with open(str(tmp_path / "c.thu"), "w") as f:
+        f.write("#0:VOLTAGE\tFLOAT\t18.9f\n")
+        f.write("  # indented comment\n\n")
+        f.write("\n".join(lines) + "\n")
+        f.write("#trailing comment\n")
+    cpath = str(tmp_path / "c.thu")
+
+    py = read_thu(cpath)
+    assert py.quat.shape == (3, 4)
+    np.testing.assert_allclose(py.quat, t.quat, atol=1e-9)
+    nat = native.read_thu_native(cpath)
+    assert nat is not None
+    np.testing.assert_allclose(nat.quat, t.quat, atol=1e-9)
+    assert nat.particle_path == t.particle_path

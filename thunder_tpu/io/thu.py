@@ -116,6 +116,12 @@ def read_thu(path: str) -> ThuTable:
             parts = line.split()
             if not parts:
                 continue
+            # comment lines (first non-space char '#'): the reference
+            # both writes them (saveDatabase column headers) and strips
+            # them on read (Database.cpp:66-85) — resuming from a
+            # reference-written Meta_Round_xxx.thu must work here too
+            if parts[0].startswith("#"):
+                continue
             if len(parts) != N_COLUMNS:
                 raise ValueError(
                     f"{path}: expected {N_COLUMNS} columns, got {len(parts)}"
