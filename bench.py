@@ -155,7 +155,7 @@ def _warmup(opt, max_warm=6):
         dt = time.time() - t0
         n_warmup += 1
         tab = rec.get("proj_table", "oct-half")
-        seen.add(tab)
+        seen.add((tab, rec.get("r")))
         if (w >= 1 and tab == prev_table
                 and dt < 2.0 * prev_dt):
             break
@@ -164,15 +164,15 @@ def _warmup(opt, max_warm=6):
 
 
 def _timed_rounds(opt, n_warmup, warm_seen, n_rounds, n, label):
-    """Time ``n_rounds`` steady-state rounds.  A round whose projection
-    table mode was never used before in this process pays a fresh
-    phase-loop compile (the brick rung can first engage mid-refinement,
-    after warm-up already stabilised); such rounds are recorded with
-    ``fresh_table: true`` but excluded from the throughput mean, and an
-    extra round is run in their place (bounded by ``n_rounds + 2``
-    total).  Switching BETWEEN already-compiled modes is free (the
-    programs are cached) and those rounds count — the rung choice
-    legitimately tracks the per-round cloud spread."""
+    """Time ``n_rounds`` steady-state rounds.  A round whose
+    (projection-table mode, search radius) pair was never seen before
+    in this process pays fresh compiles (the brick rung can first
+    engage mid-refinement; a search-radius step re-shapes the ring
+    programs); such rounds are recorded with ``fresh_compile: true``
+    but excluded from the throughput mean, and an extra round is run in
+    their place (bounded by ``n_rounds + 2`` total).  Switching BETWEEN
+    already-compiled programs is free (cached) and those rounds count —
+    the rung choice legitimately tracks the per-round cloud spread."""
     rounds, steady = [], []
     seen = set(warm_seen)
     i = n_warmup
@@ -183,6 +183,7 @@ def _timed_rounds(opt, n_warmup, warm_seen, n_rounds, n, label):
         rec = opt.run_round(i)
         dt = time.time() - t0
         tab = rec.get("proj_table", "oct-half")
+        key = (tab, rec.get("r"))
         row = {
             "round": i,
             "img_per_sec": round(n / dt, 3),
@@ -192,12 +193,12 @@ def _timed_rounds(opt, n_warmup, warm_seen, n_rounds, n, label):
             "proj_table": tab,
             "r": rec.get("r"),
         }
-        if tab not in seen:
-            row["fresh_table"] = True
+        if key not in seen:
+            row["fresh_compile"] = True
         else:
             steady.append(row)
         rounds.append(row)
-        seen.add(tab)
+        seen.add(key)
         i += 1
     rounds[0]["n_warmup"] = n_warmup
     if not steady:          # table flip-flopped every round: use them all
