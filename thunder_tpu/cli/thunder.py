@@ -105,6 +105,11 @@ def main(argv=None):
     from thunder_tpu.physics.ctf import ctf_params
 
     cfg = ThunderConfig.from_json(a.config)
+    if cfg.par_gra and cfg.k != 1:
+        # the reference warns and ignores grading outside refinement
+        # (Optimiser.cpp:6726-6734)
+        log.warning("particle grading is only recommended in refinement,"
+                    " not classification; ignored with k=%d", cfg.k)
     out_dir = cfg.dst_prefix or "./"
     os.makedirs(out_dir, exist_ok=True)
 

@@ -2168,7 +2168,11 @@ class Optimiser:
         use_d = bool(cfg.c_search
                      and self.model.search_type == SEARCH_TYPE_CTF)
 
-        if cfg.par_gra:
+        if cfg.par_gra and cfg.k == 1:
+            # grading weights insertions by the rotation-compression
+            # score; the reference applies it only in refinement
+            # (parGra && k == 1, Optimiser.cpp:6726-6761 — with a
+            # warning for classification, where it stays off)
             smax = jnp.max(s.par.score * self.valid_dev)
             w_img = s.par.score / jnp.maximum(smax, 1e-12)
         else:
