@@ -405,8 +405,20 @@ def systematic_resample(key: jax.Array, support_w: jax.Array,
     cdf = cdf / cdf[..., -1:]
     u0 = jax.random.uniform(key, w.shape[:-1] + (1,)) / n_new
     pts = u0 + jnp.arange(n_new, dtype=jnp.float32) / n_new
-    idx = jax.vmap(jnp.searchsorted)(cdf, pts)
-    idx = jnp.minimum(idx, w.shape[-1] - 1)
+    n = w.shape[-1]
+    if n <= 512:
+        # searchsorted as a fused compare-and-count: idx[j] = #{k :
+        # cdf[k] < pts[j]}.  The batched binary search this replaces is
+        # the single most expensive particle-filter op on TPU (measured
+        # 9.5 ms/phase at L=512 n=125 vs ~1 ms for this form); the
+        # (L, n_new, n) compare fuses into the reduction on the VPU.
+        idx = jnp.sum((cdf[..., None, :] < pts[..., :, None])
+                      .astype(jnp.int32), axis=-1)
+    else:
+        # global-scale supports (adopt_global resamples the mS grid):
+        # O(n^2) would not fit; keep the binary search
+        idx = jax.vmap(jnp.searchsorted)(cdf, pts)
+    idx = jnp.minimum(idx, n - 1)
     u_sel = jnp.take_along_axis(u, idx, axis=-1)
     new_w = 1.0 / jnp.maximum(u_sel, 1e-30)
     new_w = new_w / jnp.sum(new_w, axis=-1, keepdims=True)
