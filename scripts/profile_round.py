@@ -68,7 +68,7 @@ def main():
             g = stage("expectation_global", lambda: opt.expectation_global(rings))
             stage("adopt_global", lambda: opt.adopt_global(g))
         phases = stage("local_phases", lambda: opt.local_phases(rings))
-        print(f"    (n_phases = {phases})")
+        print(f"    (n_phases = {list(np.asarray(phases))})")
         s0 = np.asarray(opt.state.par.s0)[opt.valid]
         s1 = np.asarray(opt.state.par.s1)[opt.valid]
         opt.model.set_t_vari(float(np.median(s0)), float(np.median(s1)))

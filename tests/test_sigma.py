@@ -45,3 +45,77 @@ def test_init_sigma_signal_is_conservative():
 def test_sig_rcp_sign():
     s = sigma_to_sig_rcp(jnp.asarray([1.0, 2.0]))
     np.testing.assert_allclose(np.asarray(s), [-0.5, -0.25])
+
+
+def _mini_opt(k=1, n=40, size=24, seed=0, group_scl=False, n_group=1):
+    from thunder_tpu.config import ThunderConfig
+    from thunder_tpu.optimiser import Optimiser
+    from thunder_tpu.physics.ctf import ctf_params
+
+    rng = np.random.default_rng(seed)
+    imgs = rng.normal(size=(n, size, size)).astype(np.float32)
+    vol = np.zeros((size, size, size), np.float32)
+    vol[8:14, 8:14, 8:14] = 1.0
+    ctf = ctf_params(
+        voltage=np.full(n, 300e3), defocus_u=np.full(n, 1.2e4),
+        defocus_v=np.full(n, 1.3e4), defocus_theta=np.zeros(n),
+        cs=np.zeros(n), amplitude_contrast=np.full(n, 0.1),
+        phase_shift=np.zeros(n))
+    cfg = ThunderConfig(
+        size=size, k=k, pixel_size=1.32, mask_radius=13, trans_s=1.0,
+        mode="3D", m_s=32, m_l_r=6, m_l_t=4, m_reco=4, iter_max=2,
+        group_scl=group_scl)
+    group = (np.arange(n) % n_group).astype(np.int64)
+    return Optimiser(cfg, imgs, ctf, group, init_refs=vol)
+
+
+def test_fused_max_stats_matches_sequential():
+    """_max_stats_h (fused norm+sigma+scale, one pass) must match the
+    sequential norm_correction -> refresh_sigma path exactly: the
+    closed-form rescale s^2*d2 - 2s*xa + aa equals the residual power
+    of the rescaled images."""
+    from thunder_tpu.model import SEARCH_TYPE_LOCAL
+
+    opt_a = _mini_opt(seed=3)
+    opt_b = _mini_opt(seed=3)
+    # identical particle state in both
+    for opt in (opt_a, opt_b):
+        opt.run_round(0)
+    np.testing.assert_allclose(np.asarray(opt_a.state.par.top_r),
+                               np.asarray(opt_b.state.par.top_r))
+    # force the LOCAL-round stats branch (do_norm=True)
+    for opt in (opt_a, opt_b):
+        opt.model.search_type = SEARCH_TYPE_LOCAL
+
+    opt_a.maximization_stats(i_round=1)
+
+    opt_b.norm_correction()
+    opt_b.refresh_sigma()
+
+    np.testing.assert_allclose(np.asarray(opt_a.state.sigma),
+                               np.asarray(opt_b.state.sigma),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(opt_a.data.ft_masked),
+                               np.asarray(opt_b.data.ft_masked),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_max_stats_scale_matches_sequential():
+    """Global-round branch: fused scale correction == refresh_sigma +
+    correct_scale."""
+    opt_a = _mini_opt(seed=5, group_scl=True, n_group=4)
+    opt_b = _mini_opt(seed=5, group_scl=True, n_group=4)
+    for opt in (opt_a, opt_b):
+        opt.run_round(0)
+
+    opt_a.maximization_stats(i_round=1)
+
+    opt_b.refresh_sigma()
+    opt_b.correct_scale()
+
+    np.testing.assert_allclose(np.asarray(opt_a.state.sigma),
+                               np.asarray(opt_b.state.sigma),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(opt_a.data.ft_masked),
+                               np.asarray(opt_b.data.ft_masked),
+                               rtol=2e-4, atol=2e-4)

@@ -196,6 +196,62 @@ class ModelState:
 
 
 
+def _true_fsc_dev(a, b, m, key, n_shells: int):
+    """Traced body of true_fsc — the 0.8-crossing shell is computed on
+    device so the whole correction is ONE program with ONE host pull
+    (the host-threshold version cost 3 tunnel round-trips per class
+    per round)."""
+    import jax
+    import jax.numpy as jnp
+    from thunder_tpu.ops.fourier import fft2_centered, fft3_centered, \
+        ifft2_centered, ifft3_centered
+    from thunder_tpu.physics.spectrum import fsc as fsc_fn, random_phase
+
+    ndim = a.ndim
+    fftc = fft3_centered if ndim == 3 else fft2_centered
+    ifftc = ifft3_centered if ndim == 3 else ifft2_centered
+
+    fa, fb = fftc(a), fftc(b)
+    fsc_unmask = fsc_fn(fa, fb, n_shells)
+    # res_p(fsc, 0.8, pf=1, r_l=1) on device: first shell >= 1 where
+    # the curve drops below the threshold (else n_shells), minus 1
+    idx = jnp.arange(n_shells)
+    below = (fsc_unmask < 0.8) & (idx >= 1)
+    first = jnp.where(jnp.any(below), jnp.argmax(below), n_shells)
+    thres_shell = first - 1
+
+    ka, kb = jax.random.split(key)
+    fa_rf = random_phase(fa, ka, thres_shell)
+    fb_rf = random_phase(fb, kb, thres_shell)
+    fsc_rf = fsc_fn(fftc(ifftc(fa_rf) * m), fftc(ifftc(fb_rf) * m),
+                    n_shells)
+    fsc_mask = fsc_fn(fftc(a * m), fftc(b * m), n_shells)
+
+    hi = idx >= thres_shell + 2
+    corrected = (fsc_mask - fsc_rf) / jnp.maximum(1 - fsc_rf, 1e-6)
+    return jnp.where(hi, corrected, fsc_mask)
+
+
+_TRUE_FSC_JIT: dict = {}
+
+
+def true_fsc_batch(refs_a, refs_b, mask, keys, n_shells: int):
+    """All-classes true FSC as one device program, returned UNDRAINED
+    (a (K, n_shells) device array) so the caller can batch the pull."""
+    import jax
+
+    fn = _TRUE_FSC_JIT.get("batch")
+    if fn is None:
+        def _batch(ra, rb, m, ks, n_shells: int):
+            return jax.vmap(
+                lambda a, b, k: _true_fsc_dev(a, b, m, k, n_shells)
+            )(ra, rb, ks)
+
+        fn = jax.jit(_batch, static_argnames=("n_shells",))
+        _TRUE_FSC_JIT["batch"] = fn
+    return fn(refs_a, refs_b, mask, keys, n_shells=n_shells)
+
+
 def true_fsc(ref_a, ref_b, mask, n_shells: int, key) -> np.ndarray:
     """Randomized-phase-corrected masked FSC ("true FSC",
     Model.cpp:411-567 / the core-FSC and mask-FSC branches):
@@ -209,29 +265,11 @@ def true_fsc(ref_a, ref_b, mask, n_shells: int, key) -> np.ndarray:
     """
     import jax
     import jax.numpy as jnp
-    from thunder_tpu.ops.fourier import fft2_centered, fft3_centered, \
-        ifft2_centered, ifft3_centered
-    from thunder_tpu.physics.spectrum import fsc as fsc_fn, random_phase
 
-    ndim = np.ndim(ref_a)
-    fftc = fft3_centered if ndim == 3 else fft2_centered
-    ifftc = ifft3_centered if ndim == 3 else ifft2_centered
-
-    a = jnp.asarray(ref_a)
-    b = jnp.asarray(ref_b)
-    m = jnp.asarray(mask)
-    fa, fb = fftc(a), fftc(b)
-    fsc_unmask = np.asarray(fsc_fn(fa, fb, n_shells))
-    thres_shell = spectrum.res_p(fsc_unmask, 0.8, pf=1, r_l=1)
-
-    ka, kb = jax.random.split(jnp.asarray(key))
-    fa_rf = random_phase(fa, ka, thres_shell)
-    fb_rf = random_phase(fb, kb, thres_shell)
-    fsc_rf = np.asarray(fsc_fn(fftc(ifftc(fa_rf) * m), fftc(ifftc(fb_rf) * m),
-                               n_shells))
-    fsc_mask = np.asarray(fsc_fn(fftc(a * m), fftc(b * m), n_shells))
-
-    out = np.array(fsc_mask)
-    hi = np.arange(n_shells) >= thres_shell + 2
-    out[hi] = ((fsc_mask - fsc_rf) / np.maximum(1 - fsc_rf, 1e-6))[hi]
-    return out
+    fn = _TRUE_FSC_JIT.get("one")
+    if fn is None:
+        fn = jax.jit(_true_fsc_dev, static_argnames=("n_shells",))
+        _TRUE_FSC_JIT["one"] = fn
+    return np.asarray(fn(jnp.asarray(ref_a), jnp.asarray(ref_b),
+                         jnp.asarray(mask), jnp.asarray(key),
+                         n_shells=n_shells))

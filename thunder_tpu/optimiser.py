@@ -428,7 +428,7 @@ def _adopt_global_jit(key, w_c, w_r, w_t, quats, trans, par_d, w_d, u_d,
     par = pt.resample_t(k2, par, n_trans_out)
     par = pt.cal_vari_r(par, mode)
     par = pt.cal_vari_t(par)
-    return par, cls, w_c_norm
+    return par, cls
 
 
 def _phase_body(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
@@ -682,6 +682,104 @@ def _sigma_final(sig_sum, cnt_sum, sigma_prev, r_u, max_r: int):
     sigma = sig_sum[..., :max_r] / jnp.maximum(cnt_sum[..., :max_r], 1.0)
     band = jnp.arange(max_r) < r_u
     return jnp.where(band, jnp.maximum(sigma, 1e-6), sigma_prev)
+
+
+@partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "max_r",
+                                   "n_group", "pixel_size", "do_norm",
+                                   "group_scl", "brick"))
+def _max_stats_h(ft_ori, ctf_params, mask, i_col, i_row, i_sig,
+                 hi_col, hi_row, hi_sig, hi_mask,
+                 proj_stack, cls, top_r, top_t, group_id, valid,
+                 sigma_prev, r_norm_lo, r_norm_hi, r_scl,
+                 size: int, pf: int, mode_2d: bool, max_r: int,
+                 n_group: int, pixel_size: float,
+                 do_norm: bool, group_scl: bool, brick=None):
+    """The whole maximization statistics stage — normCorrection
+    (Optimiser.cpp:6201-6394), allReduceSigma (:6397-6709) and
+    refreshScale/scaleDataVSPrior (:5749-6063, :10286) — as ONE device
+    program over ONE rank-1 projection pass.
+
+    The three stages share the projection at the top pose; the only
+    coupling is that the reference rescales images (norm correction)
+    BEFORE accumulating sigma.  With per-image shell-resolved
+    d2 = sum |dat|^2, xa = sum Re(dat conj(m)), aa = sum |m|^2
+    (m = ctf*tra*pri), the rescaled residual power is exact in closed
+    form:  |s*dat - m|^2 summed = s^2*d2 - 2*s*xa + aa,   s from the
+    norm-band median — so sigma-after-norm needs no second pass.
+
+    Band membership is pixel-exact (both the rounded-shell and the
+    squared-radius conditions of the reference's packing,
+    Optimiser.cpp:8013-8025), with r_norm/r_scl traced so per-round
+    radii don't recompile.
+
+    Returns (sigma_new (2, n_group, max_r), s_norm (2, L),
+    scale_g (2, n_group))."""
+    c = size // 2
+    n_sh = max_r + 1
+    shell = jnp.minimum(i_sig, max_r)
+    onehot = (shell[:, None] == jnp.arange(n_sh)).astype(jnp.float32)
+    shell_hi = jnp.minimum(hi_sig, max_r)
+    onehot_hi = (shell_hi[:, None] == jnp.arange(n_sh)).astype(jnp.float32)
+    q = (i_col * i_col + i_row * i_row).astype(jnp.float32)
+    norm_band = (mask
+                 * (i_sig >= r_norm_lo) * (i_sig < r_norm_hi)
+                 * (q >= r_norm_lo * r_norm_lo)
+                 * (q < r_norm_hi * r_norm_hi))
+    scl_band = mask * (i_sig < r_scl) * (q < r_scl * r_scl)
+    rings = _RingsView(i_col, i_row, size)
+
+    def one(ft, cp, ps, cl, tr, tt):
+        dat = ft[..., c + i_row, c + i_col]
+        dat_hi = ft[..., c + hi_row, c + hi_col]
+        ctf = ctf_packed(cp, i_col, i_row, size, pixel_size)
+        rot = (rotate2d_from_unit(tr[..., :2]) if mode_2d
+               else rotate3d(tr))
+        pri = _project_any(ps, cl, rot[:, None], rings, pf, mode_2d,
+                           brick)[:, 0]
+        tra = translate_phases_view(i_col, i_row, size, tt[:, None])[:, 0]
+        m = ctf * tra * pri
+        d2px = jnp.abs(dat) ** 2 * mask
+        xapx = jnp.real(dat * jnp.conj(m)) * mask
+        aapx = jnp.abs(m) ** 2 * mask
+        d2 = d2px @ onehot + (jnp.abs(dat_hi) ** 2 * hi_mask) @ onehot_hi
+        xa = xapx @ onehot
+        aa = aapx @ onehot
+        norm_l = jnp.sum((d2px - 2 * xapx + aapx) * norm_band, axis=-1)
+        xa_l = jnp.sum(xapx * scl_band, axis=-1)
+        aa_l = jnp.sum(aapx * scl_band, axis=-1)
+        return d2, xa, aa, norm_l, xa_l, aa_l
+
+    d2, xa, aa, norm_l, xa_l, aa_l = jax.vmap(one)(
+        ft_ori, ctf_params, proj_stack, cls, top_r, top_t)
+
+    if do_norm:
+        med = jnp.nanmedian(jnp.where(valid > 0, norm_l, jnp.nan))
+        s_norm = jnp.sqrt(med / jnp.maximum(norm_l, 1e-30))
+    else:
+        s_norm = jnp.ones_like(norm_l)
+
+    # sigma on the (possibly) rescaled images, closed form
+    s1 = s_norm[..., None]
+    sig = s1 * s1 * d2 - 2 * s1 * xa + aa                 # (2, L, S)
+    g_onehot = ((group_id[..., None] == jnp.arange(n_group))
+                .astype(jnp.float32) * valid[..., None])  # (2, L, G)
+    sig_sum = jnp.einsum("hlg,hls->hgs", g_onehot, sig) / 2
+    cnt_shell = mask @ onehot + hi_mask @ onehot_hi       # (S,)
+    g_cnt = jnp.sum(g_onehot, axis=1)                     # (2, G)
+    cnt_sum = g_cnt[..., None] * cnt_shell
+    sigma_new = _sigma_final(sig_sum, cnt_sum, sigma_prev,
+                             jnp.asarray(max_r), max_r)
+
+    # group intensity scale (refreshScale)
+    if group_scl:
+        xa_g = jnp.einsum("hlg,hl->hg", g_onehot, xa_l)
+        aa_g = jnp.einsum("hlg,hl->hg", g_onehot, aa_l)
+        scale_g = xa_g / jnp.maximum(aa_g, 1e-30)
+    else:
+        tot = (jnp.sum(xa_l * valid, axis=1)
+               / jnp.maximum(jnp.sum(aa_l * valid, axis=1), 1e-30))
+        scale_g = jnp.broadcast_to(tot[:, None], (2, n_group))
+    return sigma_new, s_norm, scale_g
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
@@ -1216,6 +1314,35 @@ def _round_stats_h(prev_top_r, top_r, s0, s1, valid):
 
 
 @jax.jit
+def _spread_q98_h(q, valid):
+    """98th-percentile angular deviation (radians) of each image's
+    rotation support points from its mean quaternion — the scalar the
+    brick-rung ladder keys on (ops/brick.py).  Device-side so the
+    chunked phase driver fetches ONE float alongside the stall state
+    instead of pulling the whole (2, L, R, 4) cloud (~0.5 MB + a
+    tunnel round-trip per chunk boundary)."""
+    ref_q = q[..., :1, :]
+    q = q * jnp.sign(jnp.sum(q * ref_q, axis=-1, keepdims=True) + 1e-30)
+    qm = jnp.mean(q, axis=2)
+    qm = qm / jnp.maximum(
+        jnp.linalg.norm(qm, axis=-1, keepdims=True), 1e-9)
+    dot = jnp.clip(jnp.abs(jnp.sum(q * qm[..., None, :], axis=-1)), 0, 1)
+    dev = 2.0 * jnp.arccos(dot)                          # (2, L, R)
+    dev = jnp.where((valid <= 0)[..., None], jnp.nan, dev)
+    return jnp.nanquantile(dev, 0.98)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _class_distr_h(cls, valid, k: int):
+    """Per-class particle fraction over valid images
+    (refreshClassDistr, Optimiser.cpp:5484): one K-vector instead of a
+    host pull of the full per-image class array."""
+    one_hot = (cls[..., None] == jnp.arange(k)).astype(jnp.float32)
+    cnt = jnp.sum(one_hot * valid[..., None], axis=(0, 1))
+    return cnt / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+@jax.jit
 def _sync_scalar_h(*arrs):
     """Tiny real-scalar reduction over live state leaves; fetching its
     result is the execution barrier used by Optimiser._sync_device."""
@@ -1329,7 +1456,6 @@ class StackedState:
     sigma: jax.Array           # (2, n_group, max_r)
     par: pt.ParticleState      # fields (2, L, ...)
     cls: jax.Array             # (2, L)
-    w_c: np.ndarray | None = None
     refs_version: int = 0      # bumped on every refs rebind (cache key)
 
     def __setattr__(self, name, value):
@@ -1562,9 +1688,12 @@ class Optimiser:
             return ft.chunk(sl)
         return ft[:, sl]
 
-    def _host(self, a) -> np.ndarray:
-        """Fetch a (possibly image-sharded) device array to the host.
-        Under multi-process execution a plain np.asarray of a
+    def _host(self, a):
+        """Fetch a (possibly image-sharded) device array — or a pytree
+        of them — to the host.  Every call is one tunnel round-trip
+        (~70-150 ms through the remote-dispatch backend), so per-round
+        host logic batches its pulls into ONE tree-valued call.  Under
+        multi-process execution a plain np.asarray of a
         non-fully-addressable array fails; process_allgather replaces
         the reference's master-rank gathers (MPI_Allreduce over stats,
         Optimiser.cpp:6605-6700)."""
@@ -1573,9 +1702,9 @@ class Optimiser:
         if self.mesh is not None and _jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            return np.asarray(
-                multihost_utils.process_allgather(a, tiled=True))
-        return np.asarray(a)
+            out = multihost_utils.process_allgather(a, tiled=True)
+            return _jax.tree.map(np.asarray, out)
+        return _jax.device_get(a)
 
     def _apply_shardings(self):
         """Commit every device array to its mesh placement; subsequent
@@ -1674,7 +1803,8 @@ class Optimiser:
         span, stride = self._round_brick
         return (span, stride, stack.shape[2] * stride)
 
-    def _brick_choice(self, r_u: int, mid_round: bool = False):
+    def _brick_choice(self, r_u: int, mid_round: bool = False,
+                      spread_q98: float | None = None):
         """Per-round projection-table mode: brick when every image's
         rotation support stays within the brick spread margin at the
         round's outermost ring (see ops/brick.py docstring), else the
@@ -1682,7 +1812,9 @@ class Optimiser:
         the analogue of the reference GPU path choosing texture layouts
         once per iteration.  ``mid_round=True`` (chunked phase driver)
         also considers rounds whose search type is GLOBAL: the clouds
-        tighten within the round as phases resample."""
+        tighten within the round as phases resample.  ``spread_q98``
+        (radians) lets the caller reuse a deviation quantile it already
+        fetched in a batched pull; otherwise one scalar is fetched."""
         from thunder_tpu.ops.brick import spread_margin
 
         cfg = self.cfg
@@ -1695,16 +1827,10 @@ class Optimiser:
         if cfg.mode_2d or (self.model.search_type == SEARCH_TYPE_GLOBAL
                            and not mid_round):
             return None
-        q = self._host(self.state.par.r)          # (2, L, R, 4)
-        # sign-align (double cover), per-image mean, deviation angles
-        ref_q = q[..., :1, :]
-        q = q * np.sign(np.sum(q * ref_q, axis=-1, keepdims=True) + 1e-30)
-        qm = q.mean(axis=2)
-        qm /= np.maximum(np.linalg.norm(qm, axis=-1, keepdims=True), 1e-9)
-        dot = np.clip(np.abs(np.sum(q * qm[..., None, :], axis=-1)), 0, 1)
-        dev = 2.0 * np.arccos(dot)                # (2, L, R) radians
-        dev = dev[self.valid]
-        if dev.size == 0:
+        if spread_q98 is None:
+            spread_q98 = float(self._host(_spread_q98_h(
+                self.state.par.r, self.valid_dev)))
+        if not np.isfinite(spread_q98):
             return None
         # the 98th percentile of SUPPORT-POINT deviations decides: the
         # few outlier support points beyond the margin degrade to
@@ -1712,7 +1838,7 @@ class Optimiser:
         # fidelity class as the reference GPU path's 8-bit texture
         # interpolation weights.  1.3 covers the per-phase perturbation
         # kick (perturb_r draws at a fraction of the cloud scale).
-        spread_cells = float(np.quantile(dev, 0.98)) * 1.3             * cfg.pf * max(r_u, 1)
+        spread_cells = spread_q98 * 1.3 * cfg.pf * max(r_u, 1)
         if os.environ.get("THUNDER_DEBUG_SPREAD"):
             print(f"    [brick] spread={spread_cells:.2f} cells "
                   f"r_u={r_u} mid={mid_round}", flush=True)
@@ -1800,18 +1926,17 @@ class Optimiser:
         s = self.state
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, 2)
-        par, cls, w_c_norm = _adopt_global_h(
+        par, cls = _adopt_global_h(
             keys, g["w_c"], g["w_r"], g["w_t"], g["quats"], g["trans"],
             s.par.d, s.par.w_d, s.par.u_d,
             cfg.n_rot_local, cfg.m_l_t, self.mode,
         )
         s.par = par
         s.cls = cls
-        s.w_c = self._host(w_c_norm)
 
     # -- local phases ---------------------------------------------------
 
-    def local_phases(self, rings: PackedRings) -> list[int]:
+    def local_phases(self, rings: PackedRings) -> jax.Array:
         cfg = self.cfg
         s = self.state
 
@@ -1898,7 +2023,11 @@ class Optimiser:
             par, phase, n_no_dec, prev = run_chunk(par, nxt, loop_state)
             if nxt >= MAX_N_PHASE_PER_ITER:
                 break
-            ph, nnd = self._host(phase), self._host(n_no_dec)
+            # ONE tunnel round-trip per boundary: stall state + the
+            # spread scalar the brick ladder keys on
+            ph, nnd, spread = self._host(
+                (phase, n_no_dec,
+                 _spread_q98_h(par.r, self.valid_dev)))
             if dbg:
                 print(f"    [chunk] ->{nxt} table="
                       f"{self._round_brick or 'oct'} ph={list(ph)} "
@@ -1911,7 +2040,8 @@ class Optimiser:
             phases_done = int(ph.max())
             loop_state = (phase, n_no_dec, prev)
             s.par = par
-            new_brick = self._brick_choice(rings.r_u, mid_round=True)
+            new_brick = self._brick_choice(rings.r_u, mid_round=True,
+                                           spread_q98=float(spread))
             if new_brick is not None and switches < 2:
                 self._round_brick = new_brick
                 self._brick_used.add(new_brick)
@@ -1919,16 +2049,17 @@ class Optimiser:
             if self._round_brick is not None:
                 # engaged: the engagement choice already picked the
                 # fastest admissible rung for the measured spread, and
-                # every further boundary costs a tunnel round-trip +
-                # host spread pull (~150-300 ms) for a tightening
-                # opportunity worth ~30 ms/phase at best — run the rest
-                # of the loop as ONE dispatch
+                # every further boundary costs a tunnel round-trip for
+                # a tightening opportunity worth ~30 ms/phase at best —
+                # run the rest of the loop as ONE dispatch
                 midround = False
 
         par = _finish_phases_h(par, self.sym.quats, self.mode,
                                self.sym.order > 1 and not cfg.mode_2d)
         s.par = par
-        return [int(p) for p in self._host(phase)]
+        # returned undrained: run_round fetches it in the batched
+        # per-round stats pull (one round-trip for phases + monitoring)
+        return phase
 
     # -- maximization ---------------------------------------------------
 
@@ -1972,6 +2103,59 @@ class Optimiser:
         # plain data power) — the original one-shot semantics
         s.sigma = _sigma_final(acc[0], acc[1], s.sigma,
                                jnp.asarray(cfg.max_r), cfg.max_r)
+
+    def maximization_stats(self, i_round: int):
+        """Fused normCorrection + allReduceSigma + scale correction
+        (maximization, Optimiser.cpp:3405-3559) as one device program —
+        one rank-1 projection pass, zero host pulls (see _max_stats_h).
+        Device-resident stacks only; host-streamed originals keep the
+        sequential two-pass path (the norm median must be global before
+        sigma's accumulation can close over it chunk-by-chunk)."""
+        cfg = self.cfg
+        s = self.state
+        is_global = self.model.search_type == SEARCH_TYPE_GLOBAL
+        do_norm = i_round != 0 and not is_global
+        do_scale = is_global and cfg.group_scl and i_round != 0
+
+        r_lo = min(int(self.model.r) + 3, cfg.max_r)
+        rings = pack_rings(cfg.size, r_lo, 0, lane=512)
+        rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo, lane=512)
+        proj_stack = self._proj_stack(rings, kind=None)
+        top_t = s.par.top_t - self.offset
+
+        r_norm = min(int(self.model.r), self.model.resolution_p(0.75))
+        r_norm = max(r_norm, cfg.r_low + 2)
+        r_s = max(2, min(int(self.model.r),
+                         cfg.res_a2p(cfg.sclCor_res)))
+
+        sigma_new, s_norm, scale_g = _max_stats_h(
+            self._ft_ori_chunk(slice(0, self.n_img)),
+            self.data.ctf_params,
+            rings.mask, rings.i_col, rings.i_row, rings.i_sig,
+            rings_hi.i_col, rings_hi.i_row, rings_hi.i_sig,
+            rings_hi.mask, proj_stack, s.cls, s.par.top_r, top_t,
+            self.data.group_id, self.valid_dev, s.sigma,
+            jnp.asarray(cfg.r_low, jnp.int32),
+            jnp.asarray(r_norm, jnp.int32),
+            jnp.asarray(r_s, jnp.int32),
+            cfg.size, cfg.pf, cfg.mode_2d, cfg.max_r, self.n_group,
+            float(cfg.pixel_size), do_norm, bool(cfg.group_scl),
+            brick=None,
+        )
+        s.sigma = sigma_new
+        d = self.data
+        if do_norm:
+            self.data = d._replace(
+                ft_masked=d.ft_masked * s_norm[..., None, None],
+                ft_ori=d.ft_ori * s_norm[..., None, None],
+            )
+        elif do_scale:
+            per_img = jnp.take_along_axis(scale_g, d.group_id, axis=1)
+            self.data = d._replace(
+                ft_masked=d.ft_masked / per_img[..., None, None],
+                ft_ori=d.ft_ori / per_img[..., None, None],
+            )
+            s.sigma = s.sigma / (scale_g[..., None] ** 2)
 
     def solvent_flatten(self, apply_mask: bool):
         """Mask the references (solventFlatten, Optimiser.cpp:7768-7989;
@@ -2057,7 +2241,10 @@ class Optimiser:
         r_norm = max(r_norm, cfg.r_low + 2)
         rings = pack_rings(cfg.size, r_norm, cfg.r_low, lane=512)
         norms, _, _ = self._resid_stats(rings)        # (2, L)
-        med = float(np.median(self._host(norms)[self.valid]))
+        # device-side masked median (nanmedian == np.median over the
+        # valid subset, both interpolate the even-count midpoint) —
+        # the scale never needs a host round-trip
+        med = jnp.nanmedian(jnp.where(self.valid_dev > 0, norms, jnp.nan))
         scale = jnp.sqrt(med / jnp.maximum(norms, 1e-30))
         d = self.data
         if isinstance(d.ft_ori, HostFt):
@@ -2070,15 +2257,19 @@ class Optimiser:
                 ft_ori=d.ft_ori * scale[..., None, None],
             )
 
-    def balance_classes(self):
+    def balance_classes(self, distr: np.ndarray | None = None):
         """Reassign starved classes' references from well-populated ones
         (refreshClassDistr + balanceClass, Optimiser.cpp:5484-5592;
-        threshold CLASS_BALANCE_FACTOR/k of the particles)."""
+        threshold CLASS_BALANCE_FACTOR/k of the particles).  ``distr``
+        lets run_round hand in the class distribution it already
+        drained in the batched per-round pull."""
         cfg = self.cfg
         if cfg.k <= 1:
             return []
-        cls = self._host(self.state.cls)[self.valid]
-        distr = np.bincount(cls, minlength=cfg.k) / max(len(cls), 1)
+        if distr is None:
+            distr = self._host(_class_distr_h(
+                self.state.cls, self.valid_dev, cfg.k))
+        distr = np.asarray(distr)
         thres = 0.05 / cfg.k  # CLASS_BALANCE_FACTOR (Optimiser.h:71)
         heavy = int(np.argmax(distr))
         reborn = []
@@ -2311,7 +2502,6 @@ class Optimiser:
         fsc_dev, ref_a_new, ref_b_new = _compare_refs(
             self.state.refs[0], self.state.refs[1], n_shells
         )
-        fsc_all = np.asarray(fsc_dev)
         if cfg.gold_standard and cfg.k == 1:
             new_refs = jnp.stack([ref_a_new, ref_b_new])
         else:
@@ -2329,22 +2519,23 @@ class Optimiser:
         self.state.refs = new_refs
         if use_true_fsc:
             # core/masked randomized-phase-corrected FSC replaces the
-            # plain curves for the state machine (Model.cpp:411-567)
-            from thunder_tpu.constants import EDGE_WIDTH_RL
-            from thunder_tpu.model import true_fsc
-            from thunder_tpu.physics.mask import soft_mask_weight
+            # plain curves for the state machine (Model.cpp:411-567) —
+            # all K classes in one device program, ONE host pull
+            from thunder_tpu.model import true_fsc_batch
 
             if cfg.mask_fsc and self._ref_mask is not None:
-                m = self._ref_mask
+                if self._ref_mask_dev is None:
+                    self._ref_mask_dev = jnp.asarray(self._ref_mask)
+                m = self._ref_mask_dev
             else:
-                m = np.asarray(soft_mask_weight(
-                    cfg.size, 3, cfg.mask_radius / cfg.pixel_size,
-                    EDGE_WIDTH_RL,
-                ))
-            for t in range(cfg.k):
-                self.key, kf = jax.random.split(self.key)
-                fsc_all[t] = true_fsc(self.state.refs[0, t],
-                                      self.state.refs[1, t], m, n_shells, kf)
+                m = self._soft_mask_dev()
+            self.key, kf = jax.random.split(self.key)
+            keys = jax.random.split(kf, cfg.k)
+            fsc_all = np.asarray(self._host(true_fsc_batch(
+                self.state.refs[0], self.state.refs[1], m, keys,
+                n_shells)))
+        else:
+            fsc_all = np.asarray(fsc_dev)
 
         self.model.set_fsc(fsc_all)
         self.model.update_res(cfg.thres_report_fsc)
@@ -2419,22 +2610,33 @@ class Optimiser:
                         rings.r_u, mid_round=True)
                     if self._round_brick:
                         self._brick_used.add(self._round_brick)
-            record["n_phases"] = self.local_phases(rings)
+            phase_dev = self.local_phases(rings)
             if self._round_brick:
                 # may have engaged mid-round (chunked phase driver)
                 record["proj_table"] = "brick%s" % (self._round_brick,)
             _mark("phases")
         else:
+            phase_dev = None
             record["n_phases"] = [0, 0]
 
         # per-round monitoring statistics — rotation stability
         # (refreshRotationChange) and translation variance
         # (refreshVariance / stat_MAS, Functions.cpp:254, MEDIAN —
-        # stable enough for the 2% stagnation test) — computed on
-        # device and fetched as one 3-vector
-        stats = np.asarray(self._host(_round_stats_h(
+        # stable enough for the 2% stagnation test) — plus the phase
+        # counts and (K>1) the class distribution for rebirth, all
+        # computed on device and drained in ONE tunnel round-trip
+        pulls = {"stats": _round_stats_h(
             prev_top_r, self.state.par.top_r, self.state.par.s0,
-            self.state.par.s1, self.valid_dev)))
+            self.state.par.s1, self.valid_dev)}
+        if phase_dev is not None:
+            pulls["phase"] = phase_dev
+        if cfg.k > 1:
+            pulls["distr"] = _class_distr_h(
+                self.state.cls, self.valid_dev, cfg.k)
+        out = self._host(pulls)
+        stats = np.asarray(out["stats"])
+        if phase_dev is not None:
+            record["n_phases"] = [int(p) for p in out["phase"]]
         record["rot_change_median_deg"] = float(
             np.degrees(2.0 * np.arccos(np.clip(stats[0], -1.0, 1.0))))
         self.model.set_t_vari(float(stats[1]), float(stats[2]))
@@ -2443,15 +2645,24 @@ class Optimiser:
         # maximization (Optimiser::maximization, Optimiser.cpp:3405-3559;
         # skipM pins FSC to 1 instead, run :3798-3801)
         if not cfg.skip_m:
-            if i_round != 0 and self.model.search_type != SEARCH_TYPE_GLOBAL:
-                self.norm_correction()
-                _mark("norm_correction")
-            self.refresh_sigma()
-            _mark("sigma")
-            if (self.model.search_type == SEARCH_TYPE_GLOBAL
-                    and cfg.group_scl and i_round != 0):
-                self.correct_scale()
-                _mark("scale")
+            if len(self._ft_chunks()) == 1:
+                # device-resident stack: norm + sigma + scale fused
+                # into one dispatch (closed-form rescale, _max_stats_h)
+                self.maximization_stats(i_round)
+                _mark("max_stats")
+            else:
+                # host-streamed originals: the norm median must be
+                # global before sigma accumulates — sequential 2-pass
+                if (i_round != 0
+                        and self.model.search_type != SEARCH_TYPE_GLOBAL):
+                    self.norm_correction()
+                    _mark("norm_correction")
+                self.refresh_sigma()
+                _mark("sigma")
+                if (self.model.search_type == SEARCH_TYPE_GLOBAL
+                        and cfg.group_scl and i_round != 0):
+                    self.correct_scale()
+                    _mark("scale")
             if not cfg.skip_r:
                 self._reconstruct_and_compare(record, _mark)
                 _mark("reco_compare")
@@ -2460,7 +2671,7 @@ class Optimiser:
 
         # post-reconstruction housekeeping: class rebirth, reference
         # masking, image re-centring (run, Optimiser.cpp:3813-4014,7514)
-        reborn = self.balance_classes()
+        reborn = self.balance_classes(out.get("distr"))
         if reborn:
             record["reborn_classes"] = reborn
         self.solvent_flatten(
