@@ -207,12 +207,17 @@ def _timed_rounds(opt, n_warmup, warm_seen, n_rounds, n, label):
     return mean_ips, rounds
 
 
-def run_local(size=128, n=256, n_rounds=2):
+def run_local(size=128, n=256, n_rounds=3):
     """LOCAL-search round throughput: resume from converged poses with
     tight clouds — the regime where real refinements spend most of
     their rounds (the reference runs tens of local/CTF rounds per
     demo refinement) and where the brick-mode projection tables engage.
-    Search radius starts at r_global (the big-ring operating point)."""
+    Search radius starts at r_global (the big-ring operating point).
+    3 rounds are timed because converged local rounds ALTERNATE
+    projection-table modes (a brick round collapses the cloud, the
+    next round's rejuvenated perturbation re-widens it — measured
+    0.3 -> 5.3 cells round-over-round at 256px): a 2-round sample can
+    land entirely on one side of the oscillation."""
     import jax
 
     _enable_compile_cache()

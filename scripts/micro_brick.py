@@ -66,11 +66,13 @@ def timeit_scanned(label, fn_of_rot, rot, reps=8):
 
 
 def main():
-    size, pf = 256, 2
+    size = int(os.environ.get("MB_SIZE", 256))
+    pf = 2
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 42
     span = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     stride = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    L, R = 128, 125
+    L = int(os.environ.get("MB_L", 128))
+    R = 125
     crop = _proj_crop_size(size, pf, r)
     rings = pack_rings(size, r, 1)
     P = rings.i_col.shape[0]

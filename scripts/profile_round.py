@@ -32,7 +32,10 @@ def main():
         mode="3D", k=1, size=size, pixel_size=1.32,
         mask_radius=size * 1.32 / 2 * 0.9,
         trans_s=3.0, init_res=12.0, global_search_res=8.0, sym="C1",
-        m_s=1024, m_l_r=32, m_l_t=16, m_reco=16,
+        m_s=int(os.environ.get("PR_MS", 1024)),
+        m_l_r=int(os.environ.get("PR_MLR", 32)),
+        m_l_t=int(os.environ.get("PR_MLT", 16)),
+        m_reco=int(os.environ.get("PR_MRECO", 16)),
         ignore_res=size * 1.32, trans_search_factor=0.1,
     )
     ctf = ctf_params(

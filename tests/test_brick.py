@@ -24,7 +24,7 @@ from thunder_tpu.ops.projector import oct_pack, project_classed, ri_split
 
 
 @pytest.mark.parametrize("span,stride", [(4, 1), (5, 2), (6, 2), (7, 3),
-                                         (9, 4)])
+                                         (8, 2)])
 def test_brick_matches_oct_within_margin(span, stride):
     rng = np.random.default_rng(0)
     B, K, L, R = 48, 2, 8, 16

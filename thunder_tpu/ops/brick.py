@@ -87,18 +87,26 @@ def brick_pack_half(packed: jax.Array, span: int = 8,
     nz = ny = (b + stride - 1) // stride
     nx = (g + c + stride - 1) // stride
     pad = jnp.pad(sub, ((0, 0), (0, span), (0, span), (0, span)))
-    # stack the span^3 window offsets along the MAJOR axis and transpose
-    # once at the end: stacking minor-most directly makes XLA interleave
-    # 125 strided slices element-wise into the last axis — measured
-    # ~500 ms vs one bulk transpose at 256px table sizes
-    rows = []
-    for dz in range(span):
-        for dy in range(span):
-            for dx in range(span):
-                part = pad[:, dz::stride, dy::stride, dx::stride]
-                rows.append(part[:, :nz, :ny, :nx])
-    rows = jnp.stack(rows, axis=0)                # (s^3, K, nz, ny, nx)
-    rows = jnp.moveaxis(rows, 0, -1)              # (K, nz, ny, nx, s^3)
+    # two-stage window stacking.  A single flat stack of all span^3
+    # strided slices OOMs at span >= 10: XLA materialises each tiny
+    # slice copy with (2,128)-tile padding on near-unit minor dims
+    # (measured 128x expansion per slice, 70 GB total at 128px local
+    # shapes).  Stacking (dy, dx) first gives an s^2-wide minor axis
+    # (lane-friendly), then only SPAN dz-slices of that tensor are
+    # stacked — max(s^2, span) slices instead of s^3, with every
+    # intermediate laid out at >= s^2 lanes.
+    s2 = span * span
+    rows2 = jnp.stack(
+        [pad[:, :, dy::stride, dx::stride][:, :, :ny, :nx]
+         for dy in range(span) for dx in range(span)],
+        axis=-1)                                  # (K, Zf, ny, nx, s^2)
+    rows = jnp.stack(
+        [rows2[:, dz::stride][:, :nz] for dz in range(span)],
+        axis=-1)                                  # (K, nz, ny, nx, s^2, s)
+    # row order must be dz-major (dz, dy, dx): put the dz axis ahead of
+    # the (dy, dx) pairs before flattening
+    rows = jnp.moveaxis(rows, -1, -2).reshape(
+        k_cls, nz, ny, nx, span ** 3)
     w = _row_width(span)
     if w > span ** 3:
         rows = jnp.pad(rows, ((0, 0),) * 4 + ((0, w - span ** 3),))

@@ -1837,8 +1837,15 @@ class Optimiser:
         # clamped interpolation (a closer pose's value), the same
         # fidelity class as the reference GPU path's 8-bit texture
         # interpolation weights.  1.3 covers the per-phase perturbation
-        # kick (perturb_r draws at a fraction of the cloud scale).
-        spread_cells = spread_q98 * 1.3 * cfg.pf * max(r_u, 1)
+        # kick (perturb_r draws at a fraction of the cloud scale) at
+        # ROUND start; mid-round the measured chunk-boundary sequences
+        # tighten monotonically (5.5 -> 3.5 -> 2.6 cells at 256px local
+        # r=42) because the current support q98 already includes this
+        # phase's perturbation, so a smaller 1.15 headroom suffices —
+        # the flat 1.3 left those rounds on the corner-row table by a
+        # few percent of margin.
+        kick = 1.15 if mid_round else 1.3
+        spread_cells = spread_q98 * kick * cfg.pf * max(r_u, 1)
         if os.environ.get("THUNDER_DEBUG_SPREAD"):
             print(f"    [brick] spread={spread_cells:.2f} cells "
                   f"r_u={r_u} mid={mid_round}", flush=True)
@@ -1861,13 +1868,38 @@ class Optimiser:
         from thunder_tpu.ops.brick import table_bytes
 
         crop = _proj_crop_size(cfg.size, cfg.pf, r_u)
-        for span, stride in ((4, 1), (5, 2), (6, 2), (7, 3)):
+        # the wide-margin (8,2) rung (margin 2.5 cells) exists for the
+        # round-START spread of converged local rounds, which breathes
+        # with the perturbation floor (measured 0.3-3 cells at 256px);
+        # without it those rounds run entirely on the corner-row table
+        # (~470 ms/phase at r=42 vs ~60 ms engaged).  It is admitted
+        # only where the corner-row gather is SLOW (oct table past the
+        # cache cliff): measured at 128px r=14 (3.5 MB oct table) a
+        # brick(8,2) round is ~5-15% slower than oct-half, while at
+        # 256px r>=35 corner-row pays ~3-5 ns/row.  Spans beyond 8 are
+        # excluded outright: building a span^3>=1000 table OOMs (XLA
+        # materialises the s^3 strided-slice copies with pathological
+        # (2,128)-tile padding at small minor dims — measured 128x
+        # expansion per slice at 128px local shapes).
+        oct_bytes = crop ** 3 * 16 * cfg.k
+        for span, stride in ((4, 1), (5, 2), (6, 2), (7, 3), (8, 2)):
+            if span >= 8 and oct_bytes < 48e6:
+                continue
             if table_bytes(span, stride, crop, cfg.k) > BRICK_TABLE_BUDGET:
                 continue
             margin = spread_margin(span, stride)
             known = (prev == (span, stride)
                      or (span, stride) in self._brick_used)
-            if spread_cells <= (margin if known else 0.8 * margin):
+            # unknown-config headroom: 20% for the cheap narrow rungs
+            # (entering transiently costs a fresh compile), but only 5%
+            # for the wide (8,2) rung — it exists for breathing local
+            # rounds whose mid-round spread sits a few percent under
+            # its margin (measured 2.0-2.3 cells raw vs margin 2.5 at
+            # 256px r=42), the alternative is ~470 ms/phase corner-row,
+            # and the persistent compile cache makes its one-time
+            # compile a per-machine, not per-run, cost.
+            pen = 0.95 if span >= 8 else 0.8
+            if spread_cells <= (margin if known else pen * margin):
                 return (span, stride)
         return None
 
