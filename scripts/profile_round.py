@@ -44,7 +44,24 @@ def main():
         rng.uniform(0, np.pi, n), np.full(n, 2.0e7), np.full(n, 0.1),
         np.zeros(n),
     )
-    opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64), init_refs=vol)
+    kwargs = {}
+    if os.environ.get("PR_LOCAL"):
+        # LOCAL-round profile: resume from converged poses (bench
+        # run_local's regime — big search radius, tight clouds)
+        from thunder_tpu.io.thu import ThuTable
+
+        _vol, _imgs, _cc, quats, trans = make_dataset(size, n, rng)
+        cfg.g_search = False
+        thu = ThuTable.blank(n, voltage=300e3)
+        thu.quat = quats
+        thu.trans = trans
+        thu.std_trans = np.full((n, 2), 0.3)
+        thu.k1 = np.full(n, 3e-6)
+        thu.k2 = np.full(n, 3e-6)
+        thu.k3 = np.full(n, 3e-6)
+        kwargs["resume_thu"] = thu
+    opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64), init_refs=vol,
+                    **kwargs)
 
     def sync():
         jax.block_until_ready(

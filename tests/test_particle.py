@@ -120,3 +120,44 @@ def test_from_thu_roundtrip():
     # perturbation half-angle ~ sqrt(k), mean |dot| well above uniform)
     dots = jnp.abs(jnp.einsum("lnq,lq->ln", s.r, jnp.asarray(quat, jnp.float32)))
     assert float(jnp.mean(dots)) > 0.7
+
+
+def test_draw_poses_compact_exact():
+    """Compacted draws == plain draws: merging value-identical draws
+    into weighted slots preserves the weighted sum of inserted poses
+    exactly when the distinct count fits the slot budget."""
+    key = jax.random.PRNGKey(11)
+    s = _state(key, n_img=5, n_r=64, n_t=32)
+    # concentrate the supports the way resampling does: contiguous runs
+    # of bit-identical copies of a few ancestors
+    u_r = jnp.zeros((5, 64)).at[:, 3].set(1.0).at[:, 9].set(0.5) + 1e-9
+    u_t = jnp.zeros((5, 32)).at[:, 1].set(1.0).at[:, 4].set(0.7) + 1e-9
+    s = pt.resample_r(key, s._replace(u_r=u_r), 64)
+    s = pt.resample_t(key, s._replace(u_t=u_t), 32)
+
+    kd = jax.random.PRNGKey(12)
+    n_draw, n_slots = 100, 48
+    q0, t0, d0 = pt.draw_poses(kd, s, n_draw)
+    q1, t1, d1, w1 = pt.draw_poses_compact(kd, s, n_draw, n_slots)
+    assert q1.shape == (5, n_slots, 4) and w1.shape == (5, n_slots)
+    np.testing.assert_allclose(np.asarray(w1).sum(1), 1.0, atol=1e-6)
+    # weighted "insertion" of an arbitrary pose feature must agree with
+    # the plain draws' average (same key => same underlying draws)
+    def feat(q, t, d):
+        return (np.asarray(q)[..., :, None] * np.asarray(t)[..., None, :]
+                ).reshape(q.shape[0], q.shape[1], -1)
+    f0 = feat(q0, t0, d0).mean(axis=1)
+    f1 = (feat(q1, t1, d1) * np.asarray(w1)[..., None]).sum(axis=1)
+    np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-6)
+
+
+def test_draw_poses_compact_truncates_flat_cloud():
+    """With more distinct draws than slots, the kept slots are the
+    highest-count ones and the weights renormalise to 1."""
+    key = jax.random.PRNGKey(13)
+    s = _state(key, n_img=3, n_r=64, n_t=32)   # all-distinct supports
+    q1, t1, d1, w1 = pt.draw_poses_compact(
+        jax.random.PRNGKey(14), s, 100, 16)
+    w = np.asarray(w1)
+    np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-6)
+    assert (w > 0).all()   # flat cloud: every slot used

@@ -99,6 +99,12 @@ _ROT_BLOCK = 256  # rotations per MXU block in global search
 # modest slice of the 16 GB v5e HBM next to ft_masked and the grids.
 BRICK_TABLE_BUDGET = 2 << 30
 
+# Insertion-slice budget per image: draw_poses_compact merges the
+# m_reco draws' value-identical poses into at most this many weighted
+# slices (exact below it; top-count truncation + renormalise above —
+# measured q98 distinct = 38-83 at 256px local rounds, median 3-27).
+RECO_COMPACT_SLOTS = 48
+
 
 def _slice_l(params, sl: slice):
     """Slice every field of a (2, L)-leading pytree along L."""
@@ -799,8 +805,10 @@ def _insert_class(dat, ctf, mask, i_col, i_row, quats, trans, w_l,
     tra = translate_phases_view(i_col, i_row, size, trans)      # (L, D, P)
     dat_al = dat[:, None, :] * jnp.conj(tra)
     ctf_d = ctf if ctf.ndim == 3 else ctf[:, None, :]
-    vals = dat_al * (ctf_d * mask) * w_l[:, None, None]
-    ctf2w = (ctf_d * ctf_d * mask) * w_l[:, None, None]
+    # w_l (L,): per-image weight; (L, D): per-draw (compacted draws)
+    w_b = w_l[:, :, None] if w_l.ndim == 2 else w_l[:, None, None]
+    vals = dat_al * (ctf_d * mask) * w_b
+    ctf2w = (ctf_d * ctf_d * mask) * w_b
 
     # scatter in draw chunks: the fused scatter materialises
     # (taps * L * chunk * P, 3) update rows, which at mReco=100 would
@@ -913,7 +921,15 @@ def _dense_slices_h(ft_ori, ctf_params, quats, trans, d_draw, w_l_all,
                                   (n_img, n_sym) + vals.shape[1:])
         c2w_s = jnp.broadcast_to(ctf2w[:, None],
                                  (n_img, n_sym) + ctf2w.shape[1:])
-        wl_s = jnp.repeat(wl, n_draw * n_sym, axis=1)   # (K, L*S*D)
+        if wl.ndim == 3:
+            # per-draw compacted weights (K, L, D) -> (K, L*S*D) in the
+            # same (l, sym, d) flattening order as vals_s/rot_s
+            wl_s = jnp.broadcast_to(
+                wl[:, :, None, :],
+                (wl.shape[0], n_img, n_sym, n_draw)).reshape(
+                    wl.shape[0], -1)
+        else:
+            wl_s = jnp.repeat(wl, n_draw * n_sym, axis=1)   # (K, L*S*D)
         return (vals_s.reshape(-1, nk, nk), c2w_s.reshape(-1, nk, nk),
                 rot_s.reshape(-1, 3, 3), wl_s)
 
@@ -1167,6 +1183,12 @@ def _draw_poses_h(keys, par, n_draw: int):
     return jax.vmap(lambda k, p: pt.draw_poses(k, p, n_draw))(keys, par)
 
 
+@partial(jax.jit, static_argnames=("n_draw", "n_slots"))
+def _draw_poses_compact_h(keys, par, n_draw: int, n_slots: int):
+    return jax.vmap(
+        lambda k, p: pt.draw_poses_compact(k, p, n_draw, n_slots))(keys, par)
+
+
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "n_sym",
                                    "grid_size", "pixel_size", "use_d",
                                    "r_u", "kernel"))
@@ -1217,7 +1239,8 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
         ctf2w = jnp.broadcast_to(ctf * ctf * mask_d.reshape(-1), vals.shape)
         rot = rotate2d_from_unit(q[..., :2])
         big = grid_size * pf
-        w_cls = jnp.repeat(wl, n_draw, axis=1)
+        w_cls = (wl.reshape(wl.shape[0], -1) if wl.ndim == 3
+                 else jnp.repeat(wl, n_draw, axis=1))
         return insert_sweep_2d(
             vals.reshape(-1, nk, nk), ctf2w.reshape(-1, nk, nk),
             rot.reshape(-1, 2, 2), w_cls, big, pf,
@@ -1252,7 +1275,10 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
         ctf2w = jnp.broadcast_to(ctf * ctf * mask_d.reshape(-1), vals.shape)
         rot = rotate3d(q)
         big = grid_size * pf
-        w_cls = jnp.repeat(wl, n_draw, axis=1)                   # (K, L*D)
+        # wl (K, L): uniform per-draw weight; (K, L, D): compacted
+        # per-draw weights (draw_poses_compact) — both flatten (l, d)
+        w_cls = (wl.reshape(wl.shape[0], -1) if wl.ndim == 3
+                 else jnp.repeat(wl, n_draw, axis=1))            # (K, L*D)
         f, t = insert_sweep_3d(
             vals.reshape(-1, nk, nk), ctf2w.reshape(-1, nk, nk),
             rot.reshape(-1, 3, 3), w_cls, big, pf,
@@ -2382,11 +2408,21 @@ class Optimiser:
         self.key, kd = jax.random.split(self.key)
         keys = jax.random.split(kd, 2)
         n_draw = min(cfg.m_reco, s.par.r.shape[2] * s.par.t.shape[2])
-        quats, trans, d_draw = _draw_poses_h(keys, s.par, n_draw)
+        # compact the draws: value-identical draws merge into one
+        # weighted slice (exact — see pt.draw_poses_compact); the
+        # sweep inserter's cost is proportional to the slice count
+        n_slots = min(n_draw, RECO_COMPACT_SLOTS)
+        if os.environ.get("THUNDER_RECO_COMPACT", "") == "off":
+            n_slots = n_draw
+        if n_slots < n_draw:
+            quats, trans, d_draw, w_draw = _draw_poses_compact_h(
+                keys, s.par, n_draw, n_slots)       # w_draw (2, L, S)
+        else:
+            quats, trans, d_draw = _draw_poses_h(keys, s.par, n_draw)
+            w_draw = None
         # alignment against the ORIGINAL images: t - offset (the cloud
         # tracks re-centred images; insertion reads ft_ori)
         trans = trans - self.offset[:, :, None, :]
-        w_draw = 1.0 / n_draw
 
         use_d = bool(cfg.c_search
                      and self.model.search_type == SEARCH_TYPE_CTF)
@@ -2404,8 +2440,14 @@ class Optimiser:
 
         # all classes in one dispatch: one-hot class weights, vmapped
         # insertion (Optimiser::reconstructRef's per-class loop)
-        w_l_all = ((s.cls[:, None, :] == jnp.arange(cfg.k)[None, :, None])
-                   .astype(jnp.float32) * (w_img * w_draw)[:, None, :])
+        onehot = (s.cls[:, None, :] == jnp.arange(cfg.k)[None, :, None]
+                  ).astype(jnp.float32)              # (2, K, L)
+        if w_draw is None:
+            w_l_all = onehot * (w_img / n_draw)[:, None, :]
+        else:
+            # per-draw compacted weights: (2, K, L, S)
+            w_l_all = (onehot[..., None]
+                       * (w_img[:, :, None] * w_draw)[:, None])
         self._last_vol_sharded = False
         if self._vol_sharded(grid_size):
             # big-box path: dense slices (pose-side symmetrisation) into
