@@ -193,6 +193,8 @@ def _timed_rounds(opt, n_warmup, warm_seen, n_rounds, n, label):
             "proj_table": tab,
             "r": rec.get("r"),
         }
+        if "compile_s" in rec:
+            row["compile_s"] = rec["compile_s"]
         if key not in seen:
             row["fresh_compile"] = True
         else:
@@ -295,6 +297,12 @@ def main():
             }
         except Exception as e:
             extra["256px"] = {"error": type(e).__name__}
+    # compile-cost honesty (VERDICT r3 #8): total jit trace+lower+
+    # compile seconds this process paid across every benched workload.
+    # A warm machine (persistent cache primed) pays near-zero; the
+    # per-round rows carry their own compile_s where > 0.05 s.
+    from thunder_tpu.optimiser import compile_seconds
+
     print(json.dumps({
         "metric": (f"particle-images/sec/chip, steady-state full 3D-refine "
                    f"E-M rounds ({len(rounds)} timed after warm-up; real "
@@ -304,6 +312,7 @@ def main():
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / ASSUMED_V100_IMG_PER_SEC, 3),
+        "compile_s_total": round(compile_seconds(), 1),
         "rounds": rounds,
         **extra,
     }))

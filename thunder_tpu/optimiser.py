@@ -92,6 +92,31 @@ PARTICLE_FILTER_DECREASE_FACTOR = 0.95  # include/Optimiser.h:60
 
 _ROT_BLOCK = 256  # rotations per MXU block in global search
 
+# -- compile-time accounting (VERDICT r3 #8) ---------------------------
+# Every jit trace/lower/backend-compile second this process spends is
+# accumulated here via jax.monitoring; run_round records the per-round
+# delta as ``compile_s`` so a full refinement's compile overhead is
+# visible next to its steady-state throughput (a fresh 256px phase
+# program costs ~14 s through the remote backend; a real 20-45-round
+# refinement pays one per rung x radius step).
+_COMPILE_SECONDS = [0.0]
+
+
+def _on_compile_event(event: str, duration: float, **kw) -> None:
+    if event.startswith("/jax/core/compile/"):
+        _COMPILE_SECONDS[0] += duration
+
+
+def compile_seconds() -> float:
+    """Cumulative jit trace+lower+compile seconds in this process."""
+    return _COMPILE_SECONDS[0]
+
+
+try:
+    jax.monitoring.register_event_duration_secs_listener(_on_compile_event)
+except Exception:            # monitoring API absent: report zeros
+    pass
+
 # Ceiling on a round's brick projection table (all classes).  The
 # fastest rungs anchor a brick at every cell (stride 1), costing up to
 # 256 B per table voxel — worth it for the gather-row cut, but only
@@ -1358,6 +1383,48 @@ def _spread_q98_h(q, valid):
     return jnp.nanquantile(dev, 0.98)
 
 
+@jax.jit
+def _spread_per_image_h(q, valid):
+    """Per-IMAGE 98th-percentile angular deviation (radians) of each
+    image's rotation support points from its mean quaternion ->
+    (2, L).  The statistic behind per-image TABLE ROUTING: a round
+    whose whole-batch spread is blown up by a few rejuvenated clouds
+    (the measured ~2% tail, particle.draw_poses_compact docstring) can
+    still run the tight majority on the brick table, sending only the
+    outlier images through the corner-row gather.  Invalid (hemisphere
+    cyclic-padding) images report 0 so they always sort into the main
+    batch."""
+    ref_q = q[..., :1, :]
+    q = q * jnp.sign(jnp.sum(q * ref_q, axis=-1, keepdims=True) + 1e-30)
+    qm = jnp.mean(q, axis=2)
+    qm = qm / jnp.maximum(
+        jnp.linalg.norm(qm, axis=-1, keepdims=True), 1e-9)
+    dot = jnp.clip(jnp.abs(jnp.sum(q * qm[..., None, :], axis=-1)), 0, 1)
+    dev = 2.0 * jnp.arccos(dot)                          # (2, L, R)
+    dev = jnp.quantile(dev, 0.98, axis=-1)               # (2, L)
+    return jnp.where(valid > 0, dev, 0.0)
+
+
+@jax.jit
+def _take_l(tree, idx):
+    """Gather images (axis 1) of every (2, L, ...) leaf by the
+    per-hemisphere index (2, n) — the routing split/merge primitive."""
+    def take(a):
+        ix = idx.reshape(idx.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, ix.astype(jnp.int32), axis=1)
+
+    return jax.tree.map(take, tree)
+
+
+@jax.jit
+def _merge_routed_h(par_main, par_out, inv):
+    """Concatenate the two routed batches back and undo the spread
+    permutation (inv = argsort of the routing order)."""
+    full = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1),
+                        par_main, par_out)
+    return _take_l(full, inv)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _class_distr_h(cls, valid, k: int):
     """Per-class particle fraction over valid images
@@ -1383,13 +1450,10 @@ def _recentre_refs_h(refs, o_class, mode_2d: bool):
     return jax.vmap(lambda r, o: _recentre_refs(r, o, mode_2d))(refs, o_class)
 
 
-@partial(jax.jit, static_argnames=("size", "mask_radius_px",))
-def _remask_h(ft_ori, offset, size: int, mask_radius_px: float):
-    """Rebuild soft-masked spectra from offset-translated originals
-    (reMaskImg, Optimiser.cpp:6093-6149), both hemispheres at once."""
-    from thunder_tpu.constants import EDGE_WIDTH_RL
-    from thunder_tpu.ops.fourier import fft2_centered, ifft2_centered
-    from thunder_tpu.physics.mask import soft_mask_weight
+@partial(jax.jit, static_argnames=("size",))
+def _remask_ifft_h(ft_ori, offset, size: int):
+    """First half of reMaskImg: offset-translate and return real space."""
+    from thunder_tpu.ops.fourier import ifft2_centered
 
     c = size // 2
     k = jnp.arange(size, dtype=jnp.float32) - c
@@ -1398,9 +1462,33 @@ def _remask_h(ft_ori, offset, size: int, mask_radius_px: float):
         + k[None, None, :, None] * offset[..., 1, None, None]
     )
     shifted = ft_ori * jnp.exp(-1j * phase).astype(jnp.complex64)
-    rl = ifft2_centered(shifted)
+    return ifft2_centered(shifted)
+
+
+@partial(jax.jit, static_argnames=("size", "mask_radius_px"))
+def _remask_fft_h(rl, size: int, mask_radius_px: float):
+    """Second half of reMaskImg: soft-mask and return to Fourier."""
+    from thunder_tpu.constants import EDGE_WIDTH_RL
+    from thunder_tpu.ops.fourier import fft2_centered
+    from thunder_tpu.physics.mask import soft_mask_weight
+
     w = jnp.asarray(soft_mask_weight(size, 2, mask_radius_px, EDGE_WIDTH_RL))
     return fft2_centered(rl * w[None, None]).astype(jnp.complex64)
+
+
+def _remask_h(ft_ori, offset, size: int, mask_radius_px: float):
+    """Rebuild soft-masked spectra from offset-translated originals
+    (reMaskImg, Optimiser.cpp:6093-6149), both hemispheres at once.
+
+    Split into TWO dispatches on purpose: fusing both batched FFTs into
+    one program makes XLA:CPU's layout assignment feed the second FFT a
+    transposed operand on a (hemi, data)-sharded batch — its fft thunk
+    RET_CHECKs dim0-major input (found by the routed multi-chip dryrun,
+    which was the first to drive a LOCAL round over a mesh).  The jit
+    boundary pins the intermediate to the default layout; the stage
+    runs once per round, so the extra dispatch is noise."""
+    return _remask_fft_h(_remask_ifft_h(ft_ori, offset, size),
+                         size, mask_radius_px)
 
 
 @partial(jax.jit, static_argnames=("size", "pf", "mode_2d", "pixel_size"))
@@ -1684,6 +1772,7 @@ class Optimiser:
         self._soft_mask_cache = None
         self._proj_stack_cache: dict = {}
         self._round_brick = None
+        self._round_order = None        # per-image routing permutation
         self._brick_used: set = set()   # configs engaged this process
         if cfg.perform_mask and cfg.mask_path:
             from thunder_tpu.io.mrc import read_mrc
@@ -1929,6 +2018,68 @@ class Optimiser:
                 return (span, stride)
         return None
 
+    def _route_capacity(self) -> int:
+        """Static outlier-batch size for per-image table routing: the
+        worst-spread eighth of each hemisphere's images (at least 8).
+        Fixed per run so the two routed phase programs keep stable
+        shapes; the measured rejuvenation tail is ~2% of images, so an
+        eighth leaves headroom while the outlier corner-row loop stays
+        small.  0 disables routing (tiny batches, or THUNDER_SPLIT=0)."""
+        if os.environ.get("THUNDER_SPLIT", "1") == "0":
+            return 0
+        n_img = int(self.state.par.r.shape[1])
+        if n_img < 32:
+            return 0
+        return max(8, n_img // 8)
+
+    def _table_plan(self, r_u: int, mid_round: bool = False,
+                    spread_img=None):
+        """Three-way projection-table plan -> (rung, order):
+
+        * (rung, None) — EVERY valid image's cloud fits ``rung``:
+          whole-batch brick (round 3's behavior, but keyed on the max
+          per-image q98 instead of the pooled q98, a stronger
+          guarantee);
+        * (rung, order) — only a bounded outlier minority does not fit:
+          per-image SPLIT ROUTING.  ``order`` is the (2, L) image
+          permutation by ascending spread; the first L - capacity
+          images run the brick table, the rest the corner-row table
+          (the whole-round fallback this replaces cost 256px LOCAL
+          rounds ~40% of their throughput — VERDICT r3 #1);
+        * (None, None) — corner-row for everyone.
+
+        ``spread_img`` lets the chunked phase driver reuse the (2, L)
+        per-image quantile it already fetched at the boundary."""
+        force = os.environ.get("THUNDER_BRICK", "")
+        if force or self.cfg.mode_2d or (
+                self.model.search_type == SEARCH_TYPE_GLOBAL
+                and not mid_round):
+            return (self._brick_choice(r_u, mid_round), None)
+        if spread_img is None:
+            spread_img = np.asarray(self._host(_spread_per_image_h(
+                self.state.par.r, self.valid_dev)))
+        sp = np.sort(np.nan_to_num(np.asarray(spread_img)), axis=1)
+        full = float(sp[:, -1].max())
+        rung = self._brick_choice(r_u, mid_round, spread_q98=full)
+        if rung is not None:
+            return (rung, None)
+        n_out = self._route_capacity()
+        # routing pays only where the corner-row gather is the slow
+        # path (big tables, same criterion as mid-round chunking) and
+        # the outlier capacity actually trims the deciding quantile;
+        # THUNDER_SPLIT=force drops the byte gate (tests, small boxes)
+        crop = _proj_crop_size(self.cfg.size, self.cfg.pf, r_u)
+        forced = os.environ.get("THUNDER_SPLIT") == "force"
+        if n_out <= 0 or (crop ** 3 * 16 <= 24e6 and not forced):
+            return (None, None)
+        trimmed = float(sp[:, -(n_out + 1)].max())
+        rung = self._brick_choice(r_u, mid_round, spread_q98=trimmed)
+        if rung is None:
+            return (None, None)
+        order = np.argsort(np.nan_to_num(np.asarray(spread_img)),
+                           axis=1).astype(np.int32)
+        return (rung, order)
+
     # -- global search --------------------------------------------------
 
     def _n_trans_global(self) -> int:
@@ -2010,32 +2161,71 @@ class Optimiser:
             s.par = s.par._replace(
                 s_d=jnp.full_like(s.par.s_d, cfg.ctf_refine_s))
 
-        def run_chunk(par, max_phase, loop_state):
-            proj_stack = self._proj_stack(rings)
+        def run_batch(par, cls, max_phase, loop_state, proj_stack, brick,
+                      data_pack):
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, 2)
             mn = jnp.asarray(min_phase, jnp.int32)
             mx = jnp.asarray(max_phase, jnp.int32)
             if is_ctf:
+                ft, gi, cb = data_pack
                 return _phase_loop_ctf_h(
-                    keys, par, s.cls, proj_stack, rings.i_col,
+                    keys, par, cls, proj_stack, rings.i_col,
                     rings.i_row, rings.i_sig, rings.mask,
-                    self.data.ft_masked, s.sigma, self.data.group_id,
-                    self.data.ctf_params, mn, mx, loop_state,
+                    ft, s.sigma, gi, cb, mn, mx, loop_state,
                     cfg.size, cfg.pf, self.mode, float(pf_small),
                     float(cfg.trans_s), float(cfg.pixel_size),
-                    seq=self.mesh is None,
-                    brick=self._brick_statics(proj_stack),
+                    seq=self.mesh is None, brick=brick,
                 )
-            dat_w, sctf2, a_term = self._pack_inputs(rings)
+            dat_w, sctf2, a_term = data_pack
             return _phase_loop_h(
-                keys, par, s.cls, proj_stack, rings.i_col, rings.i_row,
+                keys, par, cls, proj_stack, rings.i_col, rings.i_row,
                 dat_w, sctf2, a_term, mn, mx, loop_state,
                 cfg.size, cfg.pf, self.mode,
                 float(pf_small), float(cfg.trans_s),
-                seq=self.mesh is None,
-                brick=self._brick_statics(proj_stack),
+                seq=self.mesh is None, brick=brick,
             )
+
+        def full_data_pack():
+            if is_ctf:
+                return (self.data.ft_masked, self.data.group_id,
+                        self.data.ctf_params)
+            return self._pack_inputs(rings)
+
+        def run_chunk(par, max_phase, loop_state):
+            proj_stack = self._proj_stack(rings)
+            return run_batch(par, s.cls, max_phase, loop_state,
+                             proj_stack, self._brick_statics(proj_stack),
+                             full_data_pack())
+
+        def run_routed(par, loop_state, order):
+            """Per-image table routing (VERDICT r3 #1): the tight
+            majority runs the brick table, the outlier minority the
+            corner-row table — two fixed-shape adaptive loops instead
+            of a whole-round fallback when a few clouds rejuvenate.
+            Per-image independence makes the split exact (the
+            reference's loop IS per-image, Optimiser.cpp:1183); only
+            the variance-stall means run over each batch separately."""
+            n_out = self._route_capacity()
+            n_img = par.r.shape[1]
+            idx = jnp.asarray(order)
+            inv = jnp.asarray(np.argsort(order, axis=1).astype(np.int32))
+            brick_stack = self._proj_stack(rings)
+            oct_stack = self._proj_stack(rings, kind=None)
+            data = full_data_pack()
+            outs = []
+            for sub_idx, stack, brick in (
+                    (idx[:, :n_img - n_out], brick_stack,
+                     self._brick_statics(brick_stack)),
+                    (idx[:, n_img - n_out:], oct_stack, None)):
+                outs.append(run_batch(
+                    _take_l(par, sub_idx), _take_l(s.cls, sub_idx),
+                    MAX_N_PHASE_PER_ITER, loop_state, stack, brick,
+                    _take_l(data, sub_idx)))
+            (pm, ph_m, nd_m, pv_m), (po, ph_o, nd_o, _) = outs
+            return (_merge_routed_h(pm, po, inv),
+                    jnp.maximum(ph_m, ph_o), jnp.minimum(nd_m, nd_o),
+                    pv_m)
 
         # chunked driving with mid-round brick engagement: the clouds
         # tighten as phases resample (esp. after global adoption), so a
@@ -2074,7 +2264,14 @@ class Optimiser:
         phases_done = 0
         switches = 0
         dbg = os.environ.get("THUNDER_DEBUG_CHUNK")
+        routed_start = self._round_order is not None
         while True:
+            if routed_start:
+                # round-start split plan (run_round -> _table_plan):
+                # one adaptive dispatch per routed batch, no boundaries
+                par, phase, n_no_dec, prev = run_routed(
+                    par, loop_state, self._round_order)
+                break
             t_c = time.time()
             nxt = (min(phases_done + chunk, MAX_N_PHASE_PER_ITER)
                    if midround else MAX_N_PHASE_PER_ITER)
@@ -2082,10 +2279,10 @@ class Optimiser:
             if nxt >= MAX_N_PHASE_PER_ITER:
                 break
             # ONE tunnel round-trip per boundary: stall state + the
-            # spread scalar the brick ladder keys on
-            ph, nnd, spread = self._host(
+            # per-image spread quantiles the table plan keys on
+            ph, nnd, spread_img = self._host(
                 (phase, n_no_dec,
-                 _spread_q98_h(par.r, self.valid_dev)))
+                 _spread_per_image_h(par.r, self.valid_dev)))
             if dbg:
                 print(f"    [chunk] ->{nxt} table="
                       f"{self._round_brick or 'oct'} ph={list(ph)} "
@@ -2098,12 +2295,18 @@ class Optimiser:
             phases_done = int(ph.max())
             loop_state = (phase, n_no_dec, prev)
             s.par = par
-            new_brick = self._brick_choice(rings.r_u, mid_round=True,
-                                           spread_q98=float(spread))
-            if new_brick is not None and switches < 2:
-                self._round_brick = new_brick
-                self._brick_used.add(new_brick)
+            rung, order = self._table_plan(rings.r_u, mid_round=True,
+                                           spread_img=np.asarray(spread_img))
+            if rung is not None and switches < 2:
+                self._round_brick = rung
+                self._brick_used.add(rung)
                 switches += 1
+                if order is not None:
+                    # split engagement: finish the round routed
+                    self._round_order = order
+                    par, phase, n_no_dec, prev = run_routed(
+                        par, loop_state, order)
+                    break
             if self._round_brick is not None:
                 # engaged: the engagement choice already picked the
                 # fastest admissible rung for the measured spread, and
@@ -2628,6 +2831,7 @@ class Optimiser:
     def run_round(self, i_round: int) -> dict:
         cfg = self.cfg
         t0 = time.time()
+        compile_s0 = compile_seconds()
         rings = self._rings()
         record = dict(round=i_round, r=int(self.model.r),
                       search_type=int(self.model.search_type))
@@ -2658,7 +2862,7 @@ class Optimiser:
         # seconds at big boxes)
         r_sig = min(int(self.model.r) + 3, cfg.max_r)
         self._round_r_sig = r_sig       # all tables this round: crop(r_sig)
-        self._round_brick = self._brick_choice(r_sig)
+        self._round_brick, self._round_order = self._table_plan(r_sig)
         if self._round_brick:
             record["proj_table"] = "brick%s" % (self._round_brick,)
             self._brick_used.add(self._round_brick)
@@ -2687,7 +2891,10 @@ class Optimiser:
             phase_dev = self.local_phases(rings)
             if self._round_brick:
                 # may have engaged mid-round (chunked phase driver)
-                record["proj_table"] = "brick%s" % (self._round_brick,)
+                tag = "brick%s" % (self._round_brick,)
+                if self._round_order is not None:
+                    tag += "+route%d" % self._route_capacity()
+                record["proj_table"] = tag
             _mark("phases")
         else:
             phase_dev = None
@@ -2769,6 +2976,9 @@ class Optimiser:
         record["res_shell"] = int(self.model.res)
         record["res_A"] = float(self.model.res_angstrom(cfg.thres_report_fsc))
         record["elapsed_s"] = time.time() - t0
+        compile_s = compile_seconds() - compile_s0
+        if compile_s > 0.05:
+            record["compile_s"] = round(compile_s, 2)
         record["search_type_after"] = int(self.model.search_type)
         self.round_records.append(record)
         return record

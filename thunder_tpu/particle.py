@@ -287,6 +287,20 @@ def perturb_d(key: jax.Array, state: ParticleState, pf: float) -> ParticleState:
 # -- proposal balancing (Particle::balanceWeight) -----------------------
 
 
+def _inv_pdf_weights(pdf: jax.Array) -> jax.Array:
+    """Normalized 1/pdf importance weights, guarded against degenerate
+    clouds: a fully collapsed support makes the fitted proposal pdf
+    overflow float32 (inf) or turn NaN, driving every weight to 0 and
+    the normalization to 0/0.  Non-finite weights drop to 0 and an
+    all-zero row degrades to UNIFORM — the correct limit for a point
+    mass (observed under forced-brick rounds, tests/test_routing.py)."""
+    w = 1.0 / jnp.maximum(pdf, 1e-30)
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+    tot = jnp.sum(w, axis=-1, keepdims=True)
+    uniform = jnp.ones_like(w) / w.shape[-1]
+    return jnp.where(tot > 0, w / jnp.maximum(tot, 1e-30), uniform)
+
+
 def balance_weight_r(state: ParticleState, mode: int) -> ParticleState:
     """w_r = 1 / pdf of the inferred proposal (importance correction)."""
     if mode == MODE_2D:
@@ -314,14 +328,29 @@ def balance_weight_r(state: ParticleState, mode: int) -> ParticleState:
             a = infer_acg_matrix(r)
             a_inv, det = inv_det4_spd(a)
             quad = jnp.einsum("ni,ij,nj->n", r, a_inv, r)
-            return jnp.power(jnp.maximum(det, 1e-30), -0.5) * jnp.power(
+            pdf = jnp.power(jnp.maximum(det, 1e-30), -0.5) * jnp.power(
                 jnp.maximum(quad, 1e-12), -2.0
             )
+            # degeneracy guard: a fully collapsed cloud (every support
+            # the same rotation, up to quaternion sign) makes A rank-
+            # deficient — det underflows to <= 0 and the closed-form
+            # inverse returns a garbage (even negative) quadratic form,
+            # overflowing pdf to inf and the normalized weights to
+            # 0/0 = NaN.  A healthy trace-4 A has quad >= 1/4 for unit
+            # quaternions, so quad <= 1e-3 or det <= 1e-30 certifies
+            # rank collapse; the whole row degrades to UNIFORM — the
+            # correct limit for a point mass.  (A ridge on A was tried
+            # first and REJECTED: near-collapsed directions have
+            # eigenvalues far below any fixed ridge, so the ridge
+            # dominated them and measurably degraded alignment on the
+            # 32px CLI probe — corr 0.88 -> 0.77 over 4 seeds.)
+            ok = ((det > 1e-30)
+                  & jnp.all(quad > 1e-3)
+                  & jnp.all(jnp.isfinite(pdf)))
+            return jnp.where(ok, pdf, 1.0)
 
         pdf = jax.vmap(one)(state.r)
-    w = 1.0 / jnp.maximum(pdf, 1e-30)
-    w = w / jnp.sum(w, axis=-1, keepdims=True)
-    return state._replace(w_r=w)
+    return state._replace(w_r=_inv_pdf_weights(pdf))
 
 
 def balance_weight_t(state: ParticleState) -> ParticleState:
@@ -333,9 +362,7 @@ def balance_weight_t(state: ParticleState) -> ParticleState:
     pdf = jnp.exp(-0.5 * jnp.sum(z * z, axis=-1)) / (
         2 * jnp.pi * (s0 * s1)[:, None]
     )
-    w = 1.0 / jnp.maximum(pdf, 1e-30)
-    w = w / jnp.sum(w, axis=-1, keepdims=True)
-    return state._replace(w_t=w)
+    return state._replace(w_t=_inv_pdf_weights(pdf))
 
 
 def balance_weight_d(state: ParticleState) -> ParticleState:
@@ -343,9 +370,7 @@ def balance_weight_d(state: ParticleState) -> ParticleState:
     s = jnp.maximum(jnp.std(state.d, axis=1), 1e-6)
     z = (state.d - m) / s[:, None]
     pdf = jnp.exp(-0.5 * z * z) / (s[:, None] * jnp.sqrt(2 * jnp.pi))
-    w = 1.0 / jnp.maximum(pdf, 1e-30)
-    w = w / jnp.sum(w, axis=-1, keepdims=True)
-    return state._replace(w_d=w)
+    return state._replace(w_d=_inv_pdf_weights(pdf))
 
 
 # -- peak clipping (Particle.cpp:1893-2002) -----------------------------
@@ -400,7 +425,12 @@ def systematic_resample(key: jax.Array, support_w: jax.Array,
     normalized.
     """
     w = support_w * u
-    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-30)
+    # an all-zero (or non-finite) row would make the cdf normalization
+    # 0/0; degrade to uniform — the point-mass limit (_inv_pdf_weights)
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+    tot = jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.where(tot > 0, w / jnp.maximum(tot, 1e-30),
+                  1.0 / w.shape[-1])
     cdf = jnp.cumsum(w, axis=-1)
     cdf = cdf / cdf[..., -1:]
     u0 = jax.random.uniform(key, w.shape[:-1] + (1,)) / n_new
