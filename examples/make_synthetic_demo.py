@@ -28,6 +28,12 @@ def main():
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--snr", type=float, default=3.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sym", default="C1",
+                   help="3D point-group symmetry (Cn/Dn/T/O/I): the "
+                        "phantom is symmetrized over the group and the "
+                        "emitted config carries the Symmetry key, so "
+                        "parity runs exercise the reference's symmetric "
+                        "workload (script/demo_3D.json uses C4)")
     p.add_argument("--ctf-error", type=float, default=0.0,
                    help="simulate CTF estimation error: the images are "
                         "formed with the TRUE defocus but the .thu "
@@ -113,6 +119,25 @@ def main():
             s = rng.uniform(size / 24, size / 10)
             vol += np.exp(-(((kx - o[0]) ** 2 + (ky - o[1]) ** 2
                              + (kz - o[2]) ** 2) / (2 * s * s)))
+        if a.sym.upper() != "C1":
+            # make the truth genuinely symmetric: average the phantom
+            # over the group's rotations (otherwise a symmetric
+            # refinement of an asymmetric object tests nothing)
+            from scipy.ndimage import affine_transform
+
+            from thunder_tpu.geometry.symmetry import Symmetry
+
+            sym = Symmetry(a.sym)
+            rots = np.asarray(rotate3d(jnp.asarray(sym.quats)))
+            acc = np.zeros_like(vol)
+            centre = np.full(3, c, np.float64)
+            for rm in rots:
+                # grid indexing is (z, y, x); rotation matrices act on
+                # (x, y, z) — conjugate by the axis flip
+                m = rm[::-1, ::-1].T
+                acc += affine_transform(
+                    vol, m, offset=centre - m @ centre, order=1)
+            vol = (acc / len(rots)).astype(np.float32)
         vol_i = np.fft.ifftshift(vol).astype(np.float32)
         write_mrc(os.path.join(a.outdir, "init_model.mrc"), vol_i, 1.32)
         proj = prepare_projectee_3d(jnp.asarray(vol_i), 2)
@@ -172,7 +197,7 @@ def main():
             "Estimated Translation (Pixel)": 4,
             "Initial Resolution (Angstrom)": size * 1.32 / 6,
             "Perform Global Search Under (Angstrom)": size * 1.32 / 12,
-            "Symmetry": "C1",
+            "Symmetry": a.sym.upper(),
             "Initial Model": (os.path.join(a.outdir, "init_model.mrc")
                               if a.mode == "3D" else ""),
             ".thu File Storing Paths and CTFs of Images":

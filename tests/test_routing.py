@@ -20,7 +20,6 @@ import pytest
 from thunder_tpu.config import ThunderConfig
 from thunder_tpu.optimiser import (
     Optimiser,
-    _merge_routed_h,
     _spread_per_image_h,
     _take_l,
 )
@@ -43,7 +42,11 @@ def test_take_merge_roundtrip(rng):
     out = _take_l(tree, idx[:, 8:])
     assert main["r"].shape == (2, 8, 5, 4)
     assert out["t"].shape == (2, 4, 3)
-    back = _merge_routed_h(main, out, inv)
+    # segment merge as run_routed does it: concat back, undo the
+    # spread permutation
+    full = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1),
+                        main, out)
+    back = _take_l(full, inv)
     for k in tree:
         np.testing.assert_array_equal(np.asarray(back[k]),
                                       np.asarray(tree[k]))
@@ -102,7 +105,9 @@ def test_routed_round_executes(monkeypatch):
         prng = np.random.default_rng(1)
         order = np.stack([prng.permutation(n_img),
                           prng.permutation(n_img)]).astype(np.int32)
-        return ((5, 2), order)
+        # three tiers incl. a mid rung — exercises the segmented path
+        segs = ((n_img - 16, (5, 2)), (8, (6, 2)), (8, None))
+        return ((5, 2), order, segs)
 
     monkeypatch.setattr(opt, "_table_plan", fake_plan)
     shapes = jax.tree.map(lambda a: a.shape, opt.state.par)

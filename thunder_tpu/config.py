@@ -102,6 +102,15 @@ class ThunderConfig:
     # stacks whose second device copy would not fit HBM
     host_ft_ori: bool = False
     host_ft_chunk: int = 256
+    # size the residency automatically at init: compute the projected
+    # per-device HBM bytes (stacks + tables + reconstruction grids) and
+    # enable host_ft_ori when over budget, logging the arithmetic — the
+    # reference needed no knob because its originals always lived on
+    # host (Optimiser::allocPreCal, Optimiser.cpp:7991-8171)
+    auto_residency: bool = True
+    # per-chip HBM budget in GB; 0 = read the device's bytes_limit and
+    # fall back to 16 (v5e) when the backend does not report one
+    hbm_gb: float = 0.0
     save_refs_each_iter: bool = True
     save_thu_each_iter: bool = True
 

