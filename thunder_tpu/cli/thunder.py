@@ -26,8 +26,11 @@ def save_round_artifacts(opt, thu, out_dir: str, i_round: int):
 
     cfg = opt.cfg
     fsc = opt.model.fsc
+    # the file carries only the reconstruction band's shells, like the
+    # reference's saveFSC of the rU-sized _FSC (Model.cpp:316)
+    band = int(getattr(opt, "_fsc_band", fsc.shape[1]))
     with open(os.path.join(out_dir, f"FSC_Round_{i_round:03d}.txt"), "w") as f:
-        for i in range(1, fsc.shape[1]):
+        for i in range(1, min(fsc.shape[1], band)):
             res_a = cfg.size * cfg.pixel_size / i
             f.write(f"{i:05d} {res_a:10.6f} "
                     + " ".join(f"{fsc[t, i]:10.6f}" for t in range(cfg.k))
@@ -51,6 +54,11 @@ def save_round_artifacts(opt, thu, out_dir: str, i_round: int):
         write_thu(os.path.join(out_dir, f"Meta_Round_{i_round:03d}.thu"), out)
 
     if cfg.save_refs_each_iter:
+        # saved per-round maps come from the MAP-free reconstruction
+        # pass, like the reference's fscSave (Optimiser.cpp:7460)
+        refs = getattr(opt, "_refs_report", None)
+        if refs is None:
+            refs = opt.state.refs
         if cfg.mode_2d:
             write_mrc(
                 os.path.join(out_dir, f"Reference_Round_{i_round:03d}.mrcs"),
@@ -64,7 +72,7 @@ def save_round_artifacts(opt, thu, out_dir: str, i_round: int):
                             out_dir,
                             f"Reference_{t:03d}_{tag}_Round_{i_round:03d}.mrc",
                         ),
-                        np.asarray(opt.state.refs[h, t]), cfg.pixel_size,
+                        np.asarray(refs[h, t]), cfg.pixel_size,
                     )
 
 

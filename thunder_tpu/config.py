@@ -128,7 +128,9 @@ class ThunderConfig:
 
     @property
     def max_r(self) -> int:
-        return self.size // 2 - 1
+        # size/2 - CEIL(a) with the gridding kernel's a = 1.9
+        # (Model::maxR, Model.cpp:191-194)
+        return self.size // 2 - 2
 
     def res_a2p(self, res_a: float) -> int:
         """Angstrom resolution -> integer shell index."""
@@ -136,11 +138,25 @@ class ThunderConfig:
 
     @property
     def r_init(self) -> int:
-        return self.res_a2p(self.init_res)
+        # AROUND(resA2P(1/initRes)) + 1 (Optimiser.cpp:316)
+        return round(self.size * self.pixel_size / self.init_res) + 1
 
     @property
     def r_global(self) -> int:
-        return min(self.max_r, self.res_a2p(self.global_search_res))
+        # the global-search band is additionally capped by the mask
+        # geometry: min(res, R_GLOBAL_FACTOR * maskRadius /
+        # (1 + nSym)^(1/3)), then AROUND(resA2P(.)) + 1
+        # (Optimiser.cpp:298-304, R_GLOBAL_FACTOR 0.25)
+        res = self.global_search_res
+        try:
+            from thunder_tpu.geometry.symmetry import Symmetry
+
+            n_sym = Symmetry(self.sym).n_elements if not self.mode_2d else 0
+        except Exception:
+            n_sym = 0
+        res = min(res, 0.25 * self.mask_radius / (1 + n_sym) ** (1 / 3))
+        r = round(self.size * self.pixel_size / res) + 1
+        return max(1, min(self.max_r, r))
 
     @property
     def r_low(self) -> int:

@@ -73,6 +73,15 @@ class ModelState:
 
     # -- FSC bookkeeping -------------------------------------------------
 
+    @property
+    def r_u(self) -> int:
+        """Reconstruction / FSC frequency boundary: a THIRD OF NYQUIST
+        above the alignment cutoff (Model::updateRU, Model.cpp:1543:
+        rU = min(r + AROUND(maxR/3), maxR)) — the carried model
+        resolution runs ahead of the search radius, which is what lets
+        updateR elevate r toward a crossing measured BEYOND it."""
+        return min(self.r + round(self.max_r / 3), self.max_r)
+
     def set_fsc(self, fsc: np.ndarray) -> None:
         self.fsc = np.atleast_2d(np.asarray(fsc))
 

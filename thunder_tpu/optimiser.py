@@ -338,8 +338,9 @@ def _pack_inputs_jit(ft_masked, ctf_params, sigma, group_id, i_col, i_row,
     return dat_w, sctf2, a_term
 
 
-@partial(jax.jit, static_argnames=("n_shells",))
-def _compare_refs(ref_a, ref_b, n_shells: int):
+@partial(jax.jit, static_argnames=("n_shells", "want_avg"))
+def _compare_refs(ref_a, ref_b, n_shells: int, fsc=None,
+                  want_avg: bool = True):
     """FSC between hemisphere refs + conditional averaging below the
     0.95-crossing shell, for all classes at once
     (Model::compareTwoHemispheres, Model.cpp:307-851).
@@ -347,7 +348,11 @@ def _compare_refs(ref_a, ref_b, n_shells: int):
     ref_a/ref_b: (K, ...) real-space FFT-layout.  Returns
     (fsc (K, n_shells), averaged ref_a, averaged ref_b).
 
-    """
+    ``fsc``: when given, the averaging shell is derived from THIS
+    curve instead of one recomputed from the refs — the reference's
+    avgFlag pass picks the shell from the stored pass-1 _FSC
+    (MODEL_RESOLUTION_BASE_AVERAGE, AVERAGE_TWO_HEMISPHERE_THRES 0.95)
+    while averaging the MAP-reconstructed halves."""
     nd = ref_a.ndim - 1
     axes = tuple(range(1, ref_a.ndim))
     fa = jnp.fft.fftshift(jnp.fft.fftn(ref_a, axes=axes), axes=axes)
@@ -362,7 +367,9 @@ def _compare_refs(ref_a, ref_b, n_shells: int):
     half = jnp.broadcast_to((kx >= 0) | (kx == -c0), (size,) * nd)
     u_cl = jnp.minimum(u, n_shells)
 
-    if nd == 3:
+    if fsc is not None:
+        pass
+    elif nd == 3:
         # shell sums as per-z-plane one-hot matmuls (MXU) scanned over
         # z: TPU scatter-add runs ~0.1 Gelem/s, so the full-box
         # .at[].add was the measured cost at big boxes.  bf16 one-hot
@@ -404,9 +411,14 @@ def _compare_refs(ref_a, ref_b, n_shells: int):
         num = shell_sum_batch(jnp.real(fa * jnp.conj(fb)))
         pa = shell_sum_batch(jnp.abs(fa) ** 2)
         pb = shell_sum_batch(jnp.abs(fb) ** 2)
-    den = jnp.sqrt(pa * pb)
-    fsc = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+    if fsc is None:
+        den = jnp.sqrt(pa * pb)
+        fsc = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+    else:
+        fsc = jnp.asarray(fsc, jnp.float32)[:, :n_shells]
 
+    if not want_avg:
+        return fsc, None, None
     # averaging shell: last shell (from 1 up) with FSC > 0.95 before the
     # first crossing — computed branch-free per class
     below = fsc < 0.95
@@ -1290,23 +1302,65 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
         n_img, n_draw = q.shape[0], q.shape[1]
         dat = jax.lax.dynamic_slice(
             ft, (0, c - rr, c - rr), (ft.shape[0], nk, nk))     # (L,nk,nk)
-        tra = translate_phases_view(vc, vr, size, tr)           # (L,D,nk2)
-        if use_d:
-            ctf = ctf_packed_scaled(cp, vc, vr, size, pixel_size, dd)
-        else:
-            ctf = ctf_packed(cp, vc, vr, size, pixel_size)[:, None, :]
-        vals = (dat.reshape(n_img, 1, -1) * jnp.conj(tra)
-                * (ctf * mask_d.reshape(-1)))                    # (L,D,nk2)
-        ctf2w = jnp.broadcast_to(ctf * ctf * mask_d.reshape(-1), vals.shape)
         rot = rotate3d(q)
         big = grid_size * pf
         # wl (K, L): uniform per-draw weight; (K, L, D): compacted
         # per-draw weights (draw_poses_compact) — both flatten (l, d)
-        w_cls = (wl.reshape(wl.shape[0], -1) if wl.ndim == 3
-                 else jnp.repeat(wl, n_draw, axis=1))            # (K, L*D)
-        f, t = insert_sweep_3d(
-            vals.reshape(-1, nk, nk), ctf2w.reshape(-1, nk, nk),
-            rot.reshape(-1, 3, 3), w_cls, big, pf,
+        if wl.ndim == 2:
+            wl = jnp.repeat(wl[:, :, None], n_draw, axis=2)      # (K,L,D)
+
+        # image-chunked accumulation: the translated/CTF'd dense slices
+        # (L, D, nk^2 complex64 + two f32 fields) reach multiple GB at
+        # the reference's rU = r + maxR/3 reconstruction band (nk = 167
+        # at 256px local rounds) — materializing them whole OOMs a
+        # 16 GB chip.  Chunk images so the in-flight slice block stays
+        # under ~256 MB; the big (K, big^3) accumulators dominate the
+        # residency instead, as they must.
+        lc = max(1, min(n_img, int(256e6 / max(n_draw * nk * nk * 24, 1))))
+        n_chunks = (n_img + lc - 1) // lc
+        padl = n_chunks * lc - n_img
+        if padl:
+            padfn = lambda a: jnp.pad(
+                a, ((0, padl),) + ((0, 0),) * (a.ndim - 1))
+            dat = padfn(dat)
+            rot = padfn(rot)
+            tr_p = padfn(tr)
+            dd_p = padfn(dd)
+            cp = jax.tree.map(padfn, cp)
+            wl = jnp.pad(wl, ((0, 0), (0, padl), (0, 0)))  # 0-weight pads
+        else:
+            tr_p, dd_p = tr, dd
+
+        def rc(a):
+            return a.reshape((n_chunks, lc) + a.shape[1:])
+
+        def step(acc, inp):
+            dat_c, rot_c, tr_c, dd_c, cp_c, wl_c = inp
+            tra = translate_phases_view(vc, vr, size, tr_c)
+            if use_d:
+                ctf = ctf_packed_scaled(cp_c, vc, vr, size, pixel_size,
+                                        dd_c)
+            else:
+                ctf = ctf_packed(cp_c, vc, vr, size, pixel_size)[:, None]
+            vals = (dat_c.reshape(lc, 1, -1) * jnp.conj(tra)
+                    * (ctf * mask_d.reshape(-1)))            # (lc,D,nk2)
+            ctf2w = jnp.broadcast_to(ctf * ctf * mask_d.reshape(-1),
+                                     vals.shape)
+            f_c, t_c = insert_sweep_3d(
+                vals.reshape(-1, nk, nk), ctf2w.reshape(-1, nk, nk),
+                rot_c.reshape(-1, 3, 3),
+                wl_c.reshape(wl.shape[0], -1), big, pf,
+                chunk=min(128, lc * n_draw),
+            )
+            return (acc[0] + f_c, acc[1] + t_c), 0.0
+
+        acc0 = (jnp.zeros((wl.shape[0], big, big, big), jnp.complex64),
+                jnp.zeros((wl.shape[0], big, big, big), jnp.float32))
+        (f, t), _ = jax.lax.scan(
+            step, acc0,
+            (rc(dat), rc(rot), rc(tr_p), rc(dd_p),
+             jax.tree.map(rc, cp), jnp.swapaxes(rc(
+                 jnp.swapaxes(wl, 0, 1)), 1, 2)),
         )
         if n_sym > 1:
             f = jax.vmap(lambda g: symmetrize_ft(g, sym_mats,
@@ -2168,11 +2222,19 @@ class Optimiser:
         for b in bounds:
             seg_max = float(sp[:, b - 1].max())
             rung = self._brick_choice(r_u, mid_round, spread_q98=seg_max)
-            if segs and segs[-1][1] == rung:
-                segs[-1][0] += b - prev
-            else:
-                segs.append([b - prev, rung])
+            segs.append([b - prev, rung])
             prev = b
+        # BUDDY merge only (equal rung AND equal count, from the tail):
+        # greedy adjacent merging produced counts like 96/112 whose
+        # phase programs each cost a fresh ~12-22 s compile; buddy
+        # merging keeps every segment count in {L/8, L/4, L/2, L}, so
+        # the program set is bounded and migration between plans at
+        # chunk boundaries (run_round's driver) never needs a new
+        # shape.  The extra dispatches of an unmerged same-rung prefix
+        # are enqueued asynchronously — near-free next to one compile.
+        while (len(segs) > 1 and segs[-1][1] == segs[-2][1]
+               and segs[-1][0] == segs[-2][0]):
+            segs[-2][0] += segs.pop()[0]
         if len(segs) == 1:
             return (segs[0][1], None, ())      # uniform: no split
         order = np.argsort(np.nan_to_num(np.asarray(spread_img)),
@@ -2297,7 +2359,7 @@ class Optimiser:
                              proj_stack, self._brick_statics(proj_stack),
                              full_data_pack())
 
-        def run_routed(par, loop_state, order, segs):
+        def run_routed(par, loop_state, order, segs, max_phase):
             """Per-image SEGMENTED table routing (VERDICT r3 #1): each
             spread-sorted segment runs the fastest rung whose margin
             covers it (None = corner-row), one fixed-shape adaptive
@@ -2305,7 +2367,10 @@ class Optimiser:
             few clouds rejuvenate.  Per-image independence makes the
             split exact (the reference's loop IS per-image,
             Optimiser.cpp:1183); only the variance-stall means run
-            over each segment separately."""
+            over each segment separately.  ``max_phase`` bounds every
+            segment so the driver can re-sort at a chunk boundary
+            (MIGRATION: a wide cloud that tightens leaves the
+            corner-row tail for a brick rung)."""
             idx = jnp.asarray(order)
             inv = jnp.asarray(np.argsort(order, axis=1).astype(np.int32))
             data = full_data_pack()
@@ -2322,7 +2387,7 @@ class Optimiser:
                 t_b = time.time()
                 outs.append(run_batch(
                     _take_l(par, sub_idx), _take_l(s.cls, sub_idx),
-                    MAX_N_PHASE_PER_ITER, loop_state, stack, brick,
+                    max_phase, loop_state, stack, brick,
                     _take_l(data, sub_idx)))
                 if dbg_route:
                     ph = self._host(outs[-1][1])
@@ -2332,12 +2397,17 @@ class Optimiser:
                           flush=True)
             merged = outs[0][0]
             phase, n_no_dec, prev = outs[0][1], outs[0][2], outs[0][3]
-            for po, ph_o, nd_o, _ in outs[1:]:
+            for po, ph_o, nd_o, pv_o in outs[1:]:
                 merged = jax.tree.map(
                     lambda a, b: jnp.concatenate([a, b], axis=1),
                     merged, po)
                 phase = jnp.maximum(phase, ph_o)
                 n_no_dec = jnp.minimum(n_no_dec, nd_o)
+                # stall baseline: per-component MAX across segments —
+                # seeding a wide segment's next chunk with a tight
+                # segment's tiny variances would fake a stall and cut
+                # its phases short
+                prev = jnp.maximum(prev, pv_o)
             return _take_l(merged, inv), phase, n_no_dec, prev
 
         # chunked driving with mid-round brick engagement: the clouds
@@ -2366,30 +2436,36 @@ class Optimiser:
         # at 128px warm brick ~ oct-half, so chunk syncs would be pure
         # overhead there)
         table_bytes = _proj_crop_size(cfg.size, cfg.pf, rings.r_u) ** 3 * 16
-        midround = (chunk > 0 and not cfg.mode_2d
-                    and self._round_brick is None
-                    and table_bytes > 24e6)
+        chunking = chunk > 0 and not cfg.mode_2d and table_bytes > 24e6
         fmax = float(np.finfo(np.float32).max)
         loop_state = (jnp.zeros((2,), jnp.int32),
                       jnp.zeros((2,), jnp.int32),
                       jnp.full((2, 3), fmax, jnp.float32))
         par = s.par
         phases_done = 0
-        switches = 0
         dbg = os.environ.get("THUNDER_DEBUG_CHUNK")
-        routed_start = self._round_order is not None
         while True:
-            if routed_start:
-                # round-start split plan (run_round -> _table_plan):
-                # one adaptive dispatch per routed batch, no boundaries
+            t_c = time.time()
+            routed = self._round_order is not None
+            # a chunk boundary costs one tunnel round-trip; it buys
+            # either a FIRST engagement (corner-row round whose clouds
+            # may tighten onto a rung) or a MIGRATION (routed round
+            # with a corner-row tail whose clouds tighten onto a
+            # rung).  A uniformly-engaged brick round has nothing left
+            # to gain — run it as one adaptive dispatch.
+            boundary = chunking and (
+                (self._round_brick is None and not routed)
+                or (routed and any(r is None
+                                   for _, r in self._round_segs)))
+            nxt = (min(phases_done + chunk, MAX_N_PHASE_PER_ITER)
+                   if boundary else MAX_N_PHASE_PER_ITER)
+            if routed:
                 par, phase, n_no_dec, prev = run_routed(
                     par, loop_state, self._round_order,
-                    self._round_segs)
-                break
-            t_c = time.time()
-            nxt = (min(phases_done + chunk, MAX_N_PHASE_PER_ITER)
-                   if midround else MAX_N_PHASE_PER_ITER)
-            par, phase, n_no_dec, prev = run_chunk(par, nxt, loop_state)
+                    self._round_segs, nxt)
+            else:
+                par, phase, n_no_dec, prev = run_chunk(par, nxt,
+                                                       loop_state)
             if nxt >= MAX_N_PHASE_PER_ITER:
                 break
             # ONE tunnel round-trip per boundary: stall state + the
@@ -2398,8 +2474,9 @@ class Optimiser:
                 (phase, n_no_dec,
                  _spread_per_image_h(par.r, self.valid_dev)))
             if dbg:
-                print(f"    [chunk] ->{nxt} table="
-                      f"{self._round_brick or 'oct'} ph={list(ph)} "
+                tag = ("route%s" % (self._round_segs,) if routed
+                       else (self._round_brick or "oct"))
+                print(f"    [chunk] ->{nxt} table={tag} ph={list(ph)} "
                       f"{(time.time() - t_c) * 1e3:.0f} ms", flush=True)
             done = (ph >= MAX_N_PHASE_PER_ITER) | (
                 (ph >= min_phase)
@@ -2409,28 +2486,16 @@ class Optimiser:
             phases_done = int(ph.max())
             loop_state = (phase, n_no_dec, prev)
             s.par = par
+            # adopt the boundary's plan wholesale: fixed buddy-shape
+            # segments mean a migrated plan reuses compiled programs
             rung, order, segs = self._table_plan(
                 rings.r_u, mid_round=True,
                 spread_img=np.asarray(spread_img))
-            if (rung is not None or order is not None) and switches < 2:
-                if rung is not None:
-                    self._round_brick = rung
-                    self._brick_used.add(rung)
-                switches += 1
-                if order is not None:
-                    # split engagement: finish the round routed
-                    self._round_order = order
-                    self._round_segs = segs
-                    par, phase, n_no_dec, prev = run_routed(
-                        par, loop_state, order, segs)
-                    break
-            if self._round_brick is not None:
-                # engaged: the engagement choice already picked the
-                # fastest admissible rung for the measured spread, and
-                # every further boundary costs a tunnel round-trip for
-                # a tightening opportunity worth ~30 ms/phase at best —
-                # run the rest of the loop as ONE dispatch
-                midround = False
+            self._round_brick = rung
+            self._round_order = order
+            self._round_segs = segs
+            if rung is not None:
+                self._brick_used.add(rung)
 
         par = _finish_phases_h(par, self.sym.quats, self.mode,
                                self.sym.order > 1 and not cfg.mode_2d)
@@ -2453,7 +2518,7 @@ class Optimiser:
         # Projecting to r (not r+3) counted real signal in the r..r+3
         # band as noise — exactly the shells that activate when the
         # search radius grows next round.
-        r_lo = min(int(self.model.r) + 3, cfg.max_r)
+        r_lo = int(self.model.r_u)
         # lane=512: these R=1 stages are matmul/reduction-bound, and
         # coarse lane buckets keep their ring shapes stable across the
         # per-round radii (r+3, r_norm, r_s) — each new shape recompiles
@@ -2495,7 +2560,7 @@ class Optimiser:
         do_norm = i_round != 0 and not is_global
         do_scale = is_global and cfg.group_scl and i_round != 0
 
-        r_lo = min(int(self.model.r) + 3, cfg.max_r)
+        r_lo = int(self.model.r_u)
         rings = pack_rings(cfg.size, r_lo, 0, lane=512)
         rings_hi = pack_rings(cfg.size, cfg.max_r, r_lo, lane=512)
         proj_stack = self._proj_stack(rings, kind=None)
@@ -2721,7 +2786,7 @@ class Optimiser:
         r_u, grid_size)."""
         cfg = self.cfg
         s = self.state
-        r_u = min(int(self.model.r) + 3, cfg.max_r)
+        r_u = int(self.model.r_u)
         grid_size = self._reco_grid_size(r_u)
         rings = pack_rings(cfg.size, r_u, 0)
 
@@ -2851,52 +2916,95 @@ class Optimiser:
 
     def _reconstruct_and_compare(self, record: dict, _mark=lambda n: None):
         """Reconstruction + cross-hemisphere FSC + conditional averaging
-        (reconstructRef + Model::compareTwoHemispheres)."""
+        — the reference's TWO-PASS scheme (reconstructRef,
+        Optimiser.cpp:7310-7755):
+
+        * pass 1 (fscFlag): reconstruct both halves with MAP **off**
+          (setMAP(false), Optimiser.cpp:7328) and measure the FSC on
+          them (compareTwoHemispheres(true, false));
+        * pass 2 (avgFlag): reconstruct again from the SAME (F, T)
+          grids with MAP **on**, Wiener-weighted by the PREVIOUS
+          round's FSC with the join-half mapping (setMAP(true) +
+          OPTIMISER_RECONSTRUCT_JOIN_HALF, Optimiser.cpp:7576 — the
+          reco objects' FSC is re-armed by resetReco at the END of
+          each round, Optimiser.cpp:4071/Model.cpp:1122, so the MAP
+          pass lags the comparison by one round), then apply the
+          averaging policy (compareTwoHemispheres(false, true)) whose
+          0.95-crossing shell DOES come from the fresh pass-1 curve —
+          THESE are the references the next round aligns against.
+
+        A single Wiener'd pass with the previous round's FSC (rounds
+        1-3 of this rebuild) under-regularises the 2D references: the
+        un-damped noise beyond the signal band leaks through the
+        gridding correction and costs 4-8 FSC shells per round
+        (measured on the ref_parity 2D workload,
+        scripts/diag_2d_parity_instr.py)."""
         cfg = self.cfg
         f2, t2, r_u, grid_size = self.reconstruct_round()
         _mark("reco_insert")
 
-        # reconstruct with the PREVIOUS round's FSC (the reference's
-        # Model holds _FSC from compareTwoHemispheres of the prior
-        # round and feeds it to Reconstructor::reconstruct); the
-        # gridding-balance loop runs on the cropped grid, and the
-        # result is Fourier-resampled back to the full box
+        n_shells = cfg.max_r
         fsc_prev = np.asarray(self.model.fsc, dtype=np.float32)
         if fsc_prev.shape[0] < cfg.k:
             fsc_prev = np.broadcast_to(fsc_prev[:1],
                                        (cfg.k,) + fsc_prev.shape[1:])
-        self.state.refs = self._reconstruct_refs(
-            f2, t2, fsc_prev, grid_size, r_u,
-            not cfg.mode_2d, False, True,
+        ones = np.ones((cfg.k, n_shells), np.float32)
+        refs_fsc = self._reconstruct_refs(
+            f2, t2, ones, grid_size, r_u, False, False, True,
         )
+        refs_fsc = self._recentre(refs_fsc)
+
+        # the reference SAVES the MAP-free maps (fscSave sits in the
+        # fscFlag pass, Optimiser.cpp:7460); keep them for reporting
+        # (class_averages / per-round reference artifacts) so saved
+        # maps are undamped like the reference's
+        self._refs_report = refs_fsc
+
+        # FSC on the MAP-free pass (Model::compareTwoHemispheres,
+        # Model.cpp:307-851); core/mask true-FSC variants replace the
+        # plain curves for the state machine (Model.cpp:411-567)
+        use_true_fsc = (not cfg.mode_2d) and (cfg.core_fsc or cfg.mask_fsc)
+        fsc_dev, _, _ = _compare_refs(refs_fsc[0], refs_fsc[1], n_shells,
+                                      want_avg=False)
+        if use_true_fsc:
+            from thunder_tpu.model import true_fsc_batch
+
+            if cfg.mask_fsc and self._ref_mask is not None:
+                if self._ref_mask_dev is None:
+                    self._ref_mask_dev = jnp.asarray(self._ref_mask)
+                m = self._ref_mask_dev
+            else:
+                m = self._soft_mask_dev()
+            self.key, kf = jax.random.split(self.key)
+            keys = jax.random.split(kf, cfg.k)
+            fsc_all = np.asarray(self._host(true_fsc_batch(
+                refs_fsc[0], refs_fsc[1], m, keys, n_shells)))
+        else:
+            fsc_all = np.asarray(self._host(fsc_dev))
+        # the FSC exists only within the reconstruction band: the
+        # reference sizes _FSC to rU (Model.cpp:316 _FSC.resize(_rU))
+        # so resolutionP and the saved FSC files never see the
+        # beyond-band leakage of the real-space kernel correction
+        fsc_all = np.array(fsc_all)
+        fsc_all[:, r_u:] = 0.0
+        self._fsc_band = int(r_u)
+        _mark("reco_fsc")
+
+        # pass 2: MAP reconstruction, Wiener'd by the previous round's
+        # FSC (reco FSC re-armed at round END in the reference)
+        self.state.refs = self._reconstruct_refs(
+            f2, t2, fsc_prev, grid_size, r_u, True, True, True,
+        )
+        self.state.refs = self._recentre(self.state.refs)
         _mark("reco_wiener")
 
-        # reference auto-recentring (reconstructRef, Optimiser.cpp:
-        # 7382-7427): shift each class reference by minus the mean
-        # rank-1 translation of its images (the O accumulator /
-        # allReduceO path); Cn-symmetric groups only, and only when no
-        # explicit mask drives the geometry
-        if cfg.ref_auto_recentre and self._ref_mask is None and (
-            cfg.mode_2d or self.sym.name.startswith("C")
-        ):
-            s = self.state
-            eff_t = s.par.top_t - self.offset          # (2, L, 2)
-            one_hot = ((s.cls[:, None, :] == jnp.arange(cfg.k)[None, :, None])
-                       .astype(jnp.float32) * self.valid_dev[:, None, :])
-            cnt = jnp.maximum(jnp.sum(one_hot, axis=2), 1.0)
-            o_class = jnp.einsum("hkl,hlc->hkc", one_hot, eff_t) / cnt[..., None]
-            s.refs = _recentre_refs_h(s.refs, o_class, cfg.mode_2d)
-
-        # golden-standard FSC on the reconstructed references
-        # (Model::compareTwoHemispheres, Model.cpp:307-851) + averaging
-        # of the halves below the 0.95-crossing shell — the ONE place
-        # the two mesh halves meet
-        n_shells = cfg.max_r
-        use_true_fsc = (not cfg.mode_2d) and (cfg.core_fsc or cfg.mask_fsc)
-        fsc_dev, ref_a_new, ref_b_new = _compare_refs(
-            self.state.refs[0], self.state.refs[1], n_shells
-        )
+        fsc_j = jnp.asarray(fsc_all)
         if cfg.gold_standard and cfg.k == 1:
+            # golden standard: average the halves below the
+            # 0.95-crossing shell only (compareTwoHemispheres avgFlag)
+            _, ref_a_new, ref_b_new = _compare_refs(
+                self.state.refs[0], self.state.refs[1], n_shells,
+                fsc=fsc_j)
             new_refs = jnp.stack([ref_a_new, ref_b_new])
         else:
             # K > 1 (classification) or no golden standard: the two
@@ -2911,28 +3019,28 @@ class Optimiser:
             new_refs = jax.device_put(new_refs,
                                       self._sh_state(new_refs.ndim - 1))
         self.state.refs = new_refs
-        if use_true_fsc:
-            # core/masked randomized-phase-corrected FSC replaces the
-            # plain curves for the state machine (Model.cpp:411-567) —
-            # all K classes in one device program, ONE host pull
-            from thunder_tpu.model import true_fsc_batch
-
-            if cfg.mask_fsc and self._ref_mask is not None:
-                if self._ref_mask_dev is None:
-                    self._ref_mask_dev = jnp.asarray(self._ref_mask)
-                m = self._ref_mask_dev
-            else:
-                m = self._soft_mask_dev()
-            self.key, kf = jax.random.split(self.key)
-            keys = jax.random.split(kf, cfg.k)
-            fsc_all = np.asarray(self._host(true_fsc_batch(
-                self.state.refs[0], self.state.refs[1], m, keys,
-                n_shells)))
-        else:
-            fsc_all = np.asarray(fsc_dev)
 
         self.model.set_fsc(fsc_all)
         self.model.update_res(cfg.thres_report_fsc)
+
+    def _recentre(self, refs):
+        """Reference auto-recentring (reconstructRef, Optimiser.cpp:
+        7382-7427): shift each class reference by minus the mean rank-1
+        translation of its images (the O accumulator / allReduceO
+        path); Cn-symmetric groups only, and only when no explicit mask
+        drives the geometry.  Applied to BOTH reconstruction passes,
+        as the reference's centring block runs inside each."""
+        cfg = self.cfg
+        if not (cfg.ref_auto_recentre and self._ref_mask is None and (
+                cfg.mode_2d or self.sym.name.startswith("C"))):
+            return refs
+        s = self.state
+        eff_t = s.par.top_t - self.offset          # (2, L, 2)
+        one_hot = ((s.cls[:, None, :] == jnp.arange(cfg.k)[None, :, None])
+                   .astype(jnp.float32) * self.valid_dev[:, None, :])
+        cnt = jnp.maximum(jnp.sum(one_hot, axis=2), 1.0)
+        o_class = jnp.einsum("hkl,hlc->hkc", one_hot, eff_t) / cnt[..., None]
+        return _recentre_refs_h(refs, o_class, cfg.mode_2d)
 
     # -- one full round --------------------------------------------------
 
@@ -2977,7 +3085,7 @@ class Optimiser:
         # every stage this round (phases at r, norm correction at
         # r_norm <= r, sigma) reuses it (a per-stage rebuild costs
         # seconds at big boxes)
-        r_sig = min(int(self.model.r) + 3, cfg.max_r)
+        r_sig = int(self.model.r_u)
         self._round_r_sig = r_sig       # all tables this round: crop(r_sig)
         (self._round_brick, self._round_order,
          self._round_segs) = self._table_plan(r_sig)
@@ -3113,24 +3221,25 @@ class Optimiser:
 
     def final_reconstruction(self) -> np.ndarray:
         """Joint full-resolution reconstruction after the search stops
-        (run, Optimiser.cpp:4078-4129: setMaxRU + reconstructRef at
-        Nyquist with join-half Wiener).  Returns (K, ...) maps averaged
-        over hemispheres; per-hemisphere maps stay in self.state.refs."""
+        (run, Optimiser.cpp:4078-4129: setMaxRU + reconstructRef(true,
+        false, ..., finished=true) at Nyquist).  The FINAL maps are
+        MAP-FREE — the finished call runs only the fscFlag pass
+        (setMAP(false)); sharpening belongs to postprocess, not to an
+        FSC-damped deposit.  Returns (K, ...) maps averaged over
+        hemispheres; per-hemisphere maps stay in self.state.refs."""
         cfg = self.cfg
         saved_r = self.model.r
         self.model.r = cfg.max_r - 3
         f2, t2, r_u, grid_size = self.reconstruct_round()
         self.model.r = saved_r
 
-        fsc_all = np.asarray(self.model.fsc, dtype=np.float32)
-        if fsc_all.shape[0] < cfg.k:
-            fsc_all = np.broadcast_to(fsc_all[:1],
-                                      (cfg.k,) + fsc_all.shape[1:])
+        fsc_all = np.ones((cfg.k, cfg.max_r), np.float32)
         refs = self._reconstruct_refs(
             f2, t2, fsc_all, grid_size, r_u,
-            not cfg.mode_2d, True, True,
+            False, False, True,
         )
         self.state.refs = refs
+        self._refs_report = None     # finals live in state.refs now
         return self._host((refs[0] + refs[1]) / 2)
 
     def save_subtract(self, mask: np.ndarray, chunk: int = 512) -> np.ndarray:
@@ -3231,8 +3340,15 @@ class Optimiser:
         return out
 
     def class_averages(self) -> np.ndarray:
-        """Mean of hemisphere references per class (2D stacks / 3D maps)."""
-        return self._host((self.state.refs[0] + self.state.refs[1]) / 2)
+        """Mean of hemisphere references per class (2D stacks / 3D maps).
+
+        Reported from the MAP-FREE reconstruction pass when one exists
+        (the reference saves the fscFlag maps, not the Wiener-damped
+        references the next round aligns against)."""
+        refs = getattr(self, "_refs_report", None)
+        if refs is None:
+            refs = self.state.refs
+        return self._host((refs[0] + refs[1]) / 2)
 
     def export_thu(self, thu):
         """Write current particle-filter compression back into a ThuTable
@@ -3250,7 +3366,12 @@ class Optimiser:
             out.k1[idx] = get(s.par.k1)
             out.k2[idx] = get(s.par.k2)
             out.k3[idx] = get(s.par.k3)
-            out.trans[idx] = get(s.par.top_t)
+            # the saved translation is against the ORIGINAL image: the
+            # recentring offset accumulated by re_centre_img must come
+            # out, exactly as the reference subtracts _offset under
+            # OPTIMISER_RECENTRE_IMAGE_EACH_ITERATION
+            # (Optimiser.cpp saveDatabase)
+            out.trans[idx] = get(s.par.top_t) - get(self.offset)
             out.std_trans[idx] = np.stack(
                 [get(s.par.s0), get(s.par.s1)], axis=1
             )
