@@ -28,6 +28,11 @@ import time
 import numpy as np
 
 ASSUMED_V100_IMG_PER_SEC = 100.0
+# MEASURED in-image (scripts/ref_bench.py, BASELINE.md round-4 entry):
+# the reference binary on bench.py's exact 128px/256-image demo-grade
+# dataset, 3 minimpi ranks on this 1-core host — grounds the reference's
+# per-round cost on identical data (it ships no published numbers)
+REF_CPU_IMG_PER_SEC_128PX = 2.82
 N_TIMED_ROUNDS = 3
 
 
@@ -393,6 +398,8 @@ def main():
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / ASSUMED_V100_IMG_PER_SEC, 3),
+        "ref_cpu_img_per_sec": REF_CPU_IMG_PER_SEC_128PX,
+        "vs_ref_cpu_measured": round(ips / REF_CPU_IMG_PER_SEC_128PX, 1),
         "compile_s_total": round(compile_seconds(), 1),
         "rounds": rounds,
         **extra,

@@ -113,47 +113,60 @@ def main():
                   is_stack=True)
     else:
         kz, ky, kx = np.meshgrid(kv, kv, kv, indexing="ij")
-        vol = np.zeros((size,) * 3, np.float32)
-        for _ in range(6):
-            o = rng.uniform(-size / 6, size / 6, 3)
-            s = rng.uniform(size / 24, size / 10)
-            vol += np.exp(-(((kx - o[0]) ** 2 + (ky - o[1]) ** 2
-                             + (kz - o[2]) ** 2) / (2 * s * s)))
-        if a.sym.upper() != "C1":
-            # make the truth genuinely symmetric: average the phantom
-            # over the group's rotations (otherwise a symmetric
-            # refinement of an asymmetric object tests nothing)
-            from scipy.ndimage import affine_transform
+        # K distinct 3D phantoms for classification parity (the
+        # reference's demo_3D.json is K=4 classification from ONE init
+        # model, script/demo_3D.json); K=1 keeps the refine workload
+        phantoms = []
+        for _t in range(k):
+            vol = np.zeros((size,) * 3, np.float32)
+            for _ in range(6):
+                o = rng.uniform(-size / 6, size / 6, 3)
+                s = rng.uniform(size / 24, size / 10)
+                vol += np.exp(-(((kx - o[0]) ** 2 + (ky - o[1]) ** 2
+                                 + (kz - o[2]) ** 2) / (2 * s * s)))
+            if a.sym.upper() != "C1":
+                # make the truth genuinely symmetric: average the
+                # phantom over the group's rotations (otherwise a
+                # symmetric refinement of an asymmetric object tests
+                # nothing)
+                from scipy.ndimage import affine_transform
 
-            from thunder_tpu.geometry.symmetry import Symmetry
+                from thunder_tpu.geometry.symmetry import Symmetry
 
-            sym = Symmetry(a.sym)
-            rots = np.asarray(rotate3d(jnp.asarray(sym.quats)))
-            acc = np.zeros_like(vol)
-            centre = np.full(3, c, np.float64)
-            for rm in rots:
-                # grid indexing is (z, y, x); rotation matrices act on
-                # (x, y, z) — conjugate by the axis flip
-                m = rm[::-1, ::-1].T
-                acc += affine_transform(
-                    vol, m, offset=centre - m @ centre, order=1)
-            vol = (acc / len(rots)).astype(np.float32)
-        vol_i = np.fft.ifftshift(vol).astype(np.float32)
-        write_mrc(os.path.join(a.outdir, "init_model.mrc"), vol_i, 1.32)
-        proj = prepare_projectee_3d(jnp.asarray(vol_i), 2)
+                sym = Symmetry(a.sym)
+                srots = np.asarray(rotate3d(jnp.asarray(sym.quats)))
+                acc = np.zeros_like(vol)
+                centre = np.full(3, c, np.float64)
+                for rm in srots:
+                    # grid indexing is (z, y, x); rotation matrices act
+                    # on (x, y, z) — conjugate by the axis flip
+                    m = rm[::-1, ::-1].T
+                    acc += affine_transform(
+                        vol, m, offset=centre - m @ centre, order=1)
+                vol = (acc / len(srots)).astype(np.float32)
+            phantoms.append(vol)
+        # one class-neutral init model (mean of the truths; the same
+        # start drives BOTH frameworks so class separation, not init
+        # quality, is under test) — identical to the phantom at K=1
+        init = np.mean(phantoms, axis=0).astype(np.float32)
+        write_mrc(os.path.join(a.outdir, "init_model.mrc"),
+                  np.fft.ifftshift(init), 1.32)
+        projs = [prepare_projectee_3d(
+            jnp.asarray(np.fft.ifftshift(ph)), 2) for ph in phantoms]
         quats = random_quat(jax.random.PRNGKey(a.seed), (n,))
         rots = rotate3d(quats)
         ctf_imgs = np.asarray(ctf_image(params, size, 1.32))
         imgs = np.empty((n, size, size), np.float32)
+        if k == 1:
+            truth = np.zeros(n, np.int64)
         for i in range(n):
-            ft = project_full_3d(proj, rots[i])
+            ft = project_full_3d(projs[truth[i]], rots[i])
             ft = translate_ft(ft, trans[i, 0], trans[i, 1]) * ctf_imgs[i]
             im = np.asarray(ifft2_centered(ft))
             imgs[i] = (im * a.snr / max(im.std(), 1e-9)
                        + rng.standard_normal((size, size))).astype(np.float32)
         write_mrc(os.path.join(a.outdir, "particles.mrcs"), imgs, 1.32,
                   is_stack=True)
-        truth = np.zeros(n, np.int64)
 
     t = ThuTable.blank(n, voltage=300e3)
     if a.ctf_error and a.mode == "3D":
@@ -190,7 +203,7 @@ def main():
             "Global Search": not (a.ctf_error and a.mode == "3D"),
             "Local Search": True,
             "CTF Search": a.ctf_error != 0.0,
-            "Number of Classes": k if a.mode == "2D" else 1,
+            "Number of Classes": k,
             "Size of Image": size,
             "Pixel Size (Angstrom)": 1.32,
             "Radius of Mask on Images (Angstrom)": size * 1.32 / 2 * 0.85,

@@ -71,6 +71,11 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--m-s", type=int, default=500)
     p.add_argument("--m-reco", type=int, default=30)
+    p.add_argument("--sym", default="C1",
+                   help="3D point-group symmetry for the workload "
+                        "(the reference demo uses C4, "
+                        "script/demo_3D.json); passed through to the "
+                        "dataset generator")
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--ctf-error", type=float, default=0.0,
                    help="CTF-search parity workload: images carry the "
@@ -92,7 +97,7 @@ def main():
         sh([sys.executable,
             os.path.join(REPO, "examples", "make_synthetic_demo.py"), wd,
             "--mode", a.mode, "--n", str(a.n), "--size", str(a.size),
-            "--k", str(a.k), "--snr", "3.0",
+            "--k", str(a.k), "--snr", "3.0", "--sym", a.sym,
             "--ctf-error", str(a.ctf_error)])
     cfg_path = os.path.join(wd, "demo.json")
     cfg = json.load(open(cfg_path))
@@ -160,6 +165,32 @@ def main():
                 report[f"{tag}_defocus_factor_median"] = med
                 print(f"{tag}: median defocus factor {med:.4f} "
                       f"(truth {1 + a.ctf_error:.4f})")
+    if a.k > 1:
+        # class-occupancy agreement (classification parity): the final
+        # .thu class column vs the generator's truth, scored as the
+        # best-permutation assignment accuracy (class labels are
+        # arbitrary — Optimiser::refreshClassDistr only tracks counts)
+        import itertools
+
+        sys.path.insert(0, REPO)
+        from thunder_tpu.io.thu import read_thu
+
+        truth = np.load(os.path.join(wd, "truth.npy"))
+        for tag, d in (("ref", ref_out), ("tpu", tpu_out)):
+            metas = sorted(glob.glob(os.path.join(d, "Meta_Round_*.thu")))
+            if not metas:
+                continue
+            cls = np.asarray(read_thu(metas[-1]).class_id, int)
+            best = 0.0
+            for perm in itertools.permutations(range(a.k)):
+                acc = float(np.mean(np.take(perm, cls) == truth))
+                best = max(best, acc)
+            occ = np.bincount(cls, minlength=a.k) / len(cls)
+            report[f"{tag}_class_accuracy"] = best
+            report[f"{tag}_class_occupancy"] = occ.round(4).tolist()
+            print(f"{tag}: class accuracy (best perm) {best:.3f}, "
+                  f"occupancy {occ.round(3).tolist()}")
+
     last = rows[-1] if rows else {}
     if last.get("ref_shell") is not None and last.get("tpu_shell") is not None:
         report["final_shell_diff"] = abs(last["ref_shell"] - last["tpu_shell"])

@@ -163,3 +163,67 @@ def test_brick_ladder_policy():
         assert opt._brick_choice(r_u, mid_round=True) is None
     finally:
         om.BRICK_TABLE_BUDGET = budget0
+
+
+def test_brick_out_of_margin_recovery():
+    """Out-of-margin recovery (the zero-weight design,
+    ops/brick.py:_axis_hat): when a cloud blows past the brick margin
+    MID-ROUND (the measured ~100-cell rejuvenation events), the
+    out-of-window samples score as missing signal, which must pull the
+    filter back toward its cloud — no NaNs, no outward diffusion —
+    while the in-margin majority stays aligned."""
+    opt, true_q = _mini_opt(None)
+    # force whole-batch brick(5,2) regardless of measured spread: the
+    # deliberate deviation under test is the out-of-margin gather
+    # itself, which per-image routing would otherwise bypass
+    opt._table_plan = (
+        lambda r_u, mid_round=False, spread_img=None: ((5, 2), None, ()))
+
+    par = opt.state.par
+    r = np.asarray(par.r)                      # (hemi, L, R, 4)
+    rng = np.random.default_rng(7)
+    blown = np.arange(0, r.shape[1], 4)        # a quarter of the images
+    wide = r.copy()
+    # ~0.25 quaternion units of support scatter = tens of degrees =
+    # many grid cells at r_u — far beyond brick(5,2)'s 1-cell margin
+    noise = 0.25 * rng.standard_normal(
+        (r.shape[0], len(blown)) + r.shape[2:]).astype(np.float32)
+    wide[:, blown] = wide[:, blown] + noise
+    wide[:, blown] /= np.linalg.norm(wide[:, blown], axis=-1,
+                                     keepdims=True)
+    opt.state.par = par._replace(r=jnp.asarray(wide))
+
+    def spread_deg(q):
+        """Per-image angular support spread (deg) about the first
+        support point."""
+        dot = np.abs(np.sum(q * q[:, :, :1], axis=-1).clip(-1, 1))
+        return np.degrees(2 * np.arccos(dot)).max(axis=-1)  # (hemi, L)
+
+    before = spread_deg(wide)
+    rec = opt.run_round(0)
+    assert rec.get("proj_table", "").startswith("brick")
+
+    after_r = np.asarray(opt.state.par.r)
+    assert np.isfinite(after_r).all()
+    assert np.isfinite(np.asarray(opt.state.par.top_r)).all()
+    assert np.isfinite(rec["res_A"])
+    after = spread_deg(after_r)
+    # recovery: every blown cloud re-concentrates (no diffusion); the
+    # round's perturb/resample cycle plus the zero-weight penalty must
+    # shrink the tens-of-degrees scatter decisively
+    med_before = float(np.median(before[:, blown]))
+    med_after = float(np.median(after[:, blown]))
+    assert med_before > 15.0, med_before     # the blow-up really landed
+    assert med_after < 0.5 * med_before, (med_before, med_after)
+    # the untouched majority stays aligned to ground truth
+    keep = np.setdiff1d(np.arange(r.shape[1]), blown)
+    top = np.asarray(opt.state.par.top_r)
+    err = []
+    for h in (0, 1):
+        v = np.asarray(opt.valid[h])
+        idx = np.asarray(opt.index[h])[v]
+        sel = np.isin(idx, keep)
+        dot = np.abs(np.sum(top[h][v][sel] * np.asarray(true_q)[idx[sel]],
+                            axis=-1)).clip(-1, 1)
+        err.extend(np.degrees(2 * np.arccos(dot)))
+    assert float(np.median(err)) < 11.0

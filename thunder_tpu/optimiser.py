@@ -1393,6 +1393,29 @@ def _reconstruct_all_h(f2, t2, fsc_all, grid_size: int, pf: int,
     )(f2, t2)
 
 
+@partial(jax.jit, static_argnames=("grid_size", "pf", "max_radius",
+                                   "out_size", "kernel"))
+def _reconstruct_two_h(f2, t2, fsc_all, grid_size: int, pf: int,
+                       max_radius: int, out_size: int,
+                       kernel: str = "trilinear"):
+    """Both of the reference's per-round reconstruction passes (MAP-free
+    FSC pass + join-half Wiener MAP pass) for every hemisphere and
+    class in ONE program — one dispatch per round instead of two.
+    ``fsc_all`` is the PREVIOUS round's curve (reco FSC re-arms at
+    round end, Optimiser.cpp:4071)."""
+    from thunder_tpu.recon.reconstructor import reconstruct_two_pass
+
+    def one(f_grid, t_grid, fsc_curve):
+        a, b = reconstruct_two_pass(f_grid, t_grid, fsc_curve, grid_size,
+                                    pf, max_radius, True, True, kernel)
+        if grid_size != out_size:
+            a = resize_rl(a, out_size)
+            b = resize_rl(b, out_size)
+        return a, b
+
+    return jax.vmap(lambda f, t: jax.vmap(one)(f, t, fsc_all))(f2, t2)
+
+
 @jax.jit
 def _apply_mask_jit(refs, w):
     return refs * w[None, None]
@@ -2010,21 +2033,26 @@ class Optimiser:
         run_round), the single table built here is the brick table and
         every projecting stage passes the same brick statics."""
         cfg = self.cfg
-        # build at the ROUND's max gather radius (r_sig = r+3), not the
-        # requesting stage's: a mid-round brick engagement that built at
-        # the phase rings' crop(r) would leave next round's round-start
-        # engagement (crop(r+3)) a DIFFERENT static shape — a second
-        # multi-second phase-program compile and table build per rung
-        r_tab = max(rings.r_u, getattr(self, "_round_r_sig", 0))
-        crop = _proj_crop_size(cfg.size, cfg.pf, r_tab)
-        if refs is not None:
-            return _prepare_projectee_stack_h(refs, cfg.size, cfg.pf,
-                                              cfg.mode_2d, crop)
+        # corner-row tables build at the ROUND's max gather radius
+        # (r_sig = rU), not the requesting stage's, so sigma, norm and
+        # the residual stages share ONE table per round.  BRICK tables
+        # build at the requesting PHASE band instead: with the
+        # reference band rU = r + maxR/3, a phase-band brick at
+        # crop(rU) would be ~8x the bytes the gathers address (worse
+        # cache line locality and over the table budget at 256px).
         # kind: "round" follows the round's choice; None forces the
         # corner-row table — single-rotation stages (sigma, norm/resid)
         # gain nothing from brick sharing and pay its span^3-word rows
         # (measured 145 -> 384 ms sigma at 256px)
         kind = self._round_brick if kind == "round" else kind
+        if kind is None:
+            r_tab = max(rings.r_u, getattr(self, "_round_r_sig", 0))
+        else:
+            r_tab = rings.r_u
+        crop = _proj_crop_size(cfg.size, cfg.pf, r_tab)
+        if refs is not None:
+            return _prepare_projectee_stack_h(refs, cfg.size, cfg.pf,
+                                              cfg.mode_2d, crop)
         ver = self.state.refs_version
         # any cached table of the SAME kind whose crop covers the
         # requested radius works (the brick statics carry b = its crop)
@@ -2949,9 +2977,18 @@ class Optimiser:
             fsc_prev = np.broadcast_to(fsc_prev[:1],
                                        (cfg.k,) + fsc_prev.shape[1:])
         ones = np.ones((cfg.k, n_shells), np.float32)
-        refs_fsc = self._reconstruct_refs(
-            f2, t2, ones, grid_size, r_u, False, False, True,
-        )
+        if self._vol_sharded(grid_size):
+            refs_fsc = self._reconstruct_refs(
+                f2, t2, ones, grid_size, r_u, False, False, True,
+            )
+            refs_map = self._reconstruct_refs(
+                f2, t2, fsc_prev, grid_size, r_u, True, True, True,
+            )
+        else:
+            # both passes in one dispatch
+            refs_fsc, refs_map = _reconstruct_two_h(
+                f2, t2, jnp.asarray(fsc_prev), grid_size, cfg.pf, r_u,
+                cfg.size, cfg.reco_kernel)
         refs_fsc = self._recentre(refs_fsc)
 
         # the reference SAVES the MAP-free maps (fscSave sits in the
@@ -2992,10 +3029,7 @@ class Optimiser:
 
         # pass 2: MAP reconstruction, Wiener'd by the previous round's
         # FSC (reco FSC re-armed at round END in the reference)
-        self.state.refs = self._reconstruct_refs(
-            f2, t2, fsc_prev, grid_size, r_u, True, True, True,
-        )
-        self.state.refs = self._recentre(self.state.refs)
+        self.state.refs = self._recentre(refs_map)
         _mark("reco_wiener")
 
         fsc_j = jnp.asarray(fsc_all)
@@ -3086,13 +3120,16 @@ class Optimiser:
         # r_norm <= r, sigma) reuses it (a per-stage rebuild costs
         # seconds at big boxes)
         r_sig = int(self.model.r_u)
-        self._round_r_sig = r_sig       # all tables this round: crop(r_sig)
+        self._round_r_sig = r_sig   # corner-row tables: crop(r_sig)
+        # the table PLAN (brick margins, byte budget) keys on the PHASE
+        # band — phases gather at r; only sigma/norm/reco reach rU
+        r_phase = int(self.model.r)
         (self._round_brick, self._round_order,
-         self._round_segs) = self._table_plan(r_sig)
+         self._round_segs) = self._table_plan(r_phase)
         if self._round_brick:
             record["proj_table"] = "brick%s" % (self._round_brick,)
             self._brick_used.add(self._round_brick)
-        self._proj_stack(pack_rings(cfg.size, r_sig, 0))
+        self._proj_stack(pack_rings(cfg.size, r_phase, 0))
         _mark("build_table")
 
         # expectation (skipE honored as in run, Optimiser.cpp:3630)

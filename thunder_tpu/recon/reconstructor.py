@@ -240,6 +240,48 @@ def reconstruct(f_grid: jax.Array, t_grid: jax.Array, fsc_curve: jax.Array,
                                    grid_corr, kernel)
 
 
+def reconstruct_two_pass(f_grid: jax.Array, t_grid: jax.Array,
+                         fsc_curve: jax.Array, size: int, pf: int,
+                         max_radius: int, join_half: bool = True,
+                         grid_corr: bool = True,
+                         kernel: str = "trilinear"):
+    """The reference's per-round DOUBLE reconstruction in one program
+    (reconstructRef, Optimiser.cpp:7310-7755): the MAP-free FSC pass
+    and the Wiener(MAP) pass from the same (F, T) grids — one device
+    dispatch for the whole round's reconstructions.
+
+    Both balance loops run COLD.  Warm-starting the MAP pass from the
+    FSC pass's W scaled by T1/T2 looks attractive (the Ts differ only
+    by the smooth per-shell Wiener factor) but is a trap: T2*(W1*T1/T2)
+    = T1*W1 exactly, so the convergence check (max|C-1|) is already
+    satisfied at entry and the loop exits with W2 = W1*T1/T2 — pure
+    per-pixel damping instead of the independently re-balanced W the
+    reference computes (Reconstructor.cpp:1288-1551).  Measured on the
+    32px CLI workload: final-map corr 0.66 -> 0.02 and one to two FSC
+    shells lost per round.
+
+    Returns (rec_fsc, rec_map)."""
+    t_real = jnp.real(t_grid) if jnp.iscomplexobj(t_grid) else t_grid
+    if grid_corr:
+        w1 = balance_weights(t_real, pf, max_radius)
+    else:
+        big, ndim = t_real.shape[-1], t_real.ndim
+        quad_inside = _quad_inside(big, ndim, max_radius * pf)
+        w1 = jnp.where(quad_inside, 1.0 / jnp.maximum(t_real, T_MIN), 0.0)
+    rec_fsc = finalize_reconstruction(f_grid, w1, size, pf, max_radius,
+                                      grid_corr, kernel)
+    t_w = wiener_filter_t(t_real, fsc_curve, pf, max_radius, join_half)
+    if grid_corr:
+        w2 = balance_weights(t_w, pf, max_radius)
+    else:
+        big, ndim = t_w.shape[-1], t_w.ndim
+        quad_inside = _quad_inside(big, ndim, max_radius * pf)
+        w2 = jnp.where(quad_inside, 1.0 / jnp.maximum(t_w, T_MIN), 0.0)
+    rec_map = finalize_reconstruction(f_grid, w2, size, pf, max_radius,
+                                      grid_corr, kernel)
+    return rec_fsc, rec_map
+
+
 def symmetrize_ft(grid: jax.Array, sym_mats: jax.Array, max_radius_pad: float) -> jax.Array:
     """Sum rotated copies over the symmetry group (SYMMETRIZE_FT,
     include/Geometry/Transformation.h:170-195): out = sum_s grid(R_s f),
