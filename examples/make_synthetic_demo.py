@@ -117,13 +117,30 @@ def main():
         # reference's demo_3D.json is K=4 classification from ONE init
         # model, script/demo_3D.json); K=1 keeps the refine workload
         phantoms = []
+        rr3 = np.sqrt(kx ** 2 + ky ** 2 + kz ** 2)
         for _t in range(k):
             vol = np.zeros((size,) * 3, np.float32)
+            if k > 1:
+                # gross per-class shape distinguishable at low
+                # resolution (the 2D generator's bar/annulus/disc
+                # analogues): rod / shell / ball
+                if _t % 3 == 0:
+                    for ox in np.linspace(-size / 4, size / 4, 5):
+                        vol += np.exp(-((kx - ox) ** 2 + ky ** 2
+                                        + kz ** 2)
+                                      / (2 * (size / 16) ** 2))
+                elif _t % 3 == 1:
+                    vol += np.exp(-((rr3 - size / 5) ** 2)
+                                  / (2 * (size / 20) ** 2))
+                else:
+                    vol += np.exp(-(rr3 ** 2) / (2 * (size / 10) ** 2))
+            # per-class texture on top (sole content at K=1)
             for _ in range(6):
                 o = rng.uniform(-size / 6, size / 6, 3)
                 s = rng.uniform(size / 24, size / 10)
-                vol += np.exp(-(((kx - o[0]) ** 2 + (ky - o[1]) ** 2
-                                 + (kz - o[2]) ** 2) / (2 * s * s)))
+                vol += (0.6 if k > 1 else 1.0) * np.exp(
+                    -(((kx - o[0]) ** 2 + (ky - o[1]) ** 2
+                       + (kz - o[2]) ** 2) / (2 * s * s)))
             if a.sym.upper() != "C1":
                 # make the truth genuinely symmetric: average the
                 # phantom over the group's rotations (otherwise a

@@ -76,6 +76,10 @@ def main():
                         "(the reference demo uses C4, "
                         "script/demo_3D.json); passed through to the "
                         "dataset generator")
+    p.add_argument("--seed", type=int, default=0,
+                   help="dataset seed (defocus-gap diagnosis sweeps "
+                        "seeds to separate systematic bias from "
+                        "small-box noise)")
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--ctf-error", type=float, default=0.0,
                    help="CTF-search parity workload: images carry the "
@@ -98,7 +102,7 @@ def main():
             os.path.join(REPO, "examples", "make_synthetic_demo.py"), wd,
             "--mode", a.mode, "--n", str(a.n), "--size", str(a.size),
             "--k", str(a.k), "--snr", "3.0", "--sym", a.sym,
-            "--ctf-error", str(a.ctf_error)])
+            "--seed", str(a.seed), "--ctf-error", str(a.ctf_error)])
     cfg_path = os.path.join(wd, "demo.json")
     cfg = json.load(open(cfg_path))
     cfg["Basic"]["Number of Threads Per Process"] = a.threads or 1

@@ -417,3 +417,27 @@ def test_reconstruct_two_pass_matches_separate():
 
     assert rel(two_fsc, ref_fsc) < 1e-5
     assert rel(two_map, ref_map) < 1e-5
+
+
+def test_irfftn_safe_matches_stock():
+    """irfftn_safe (per-axis decomposition) must equal the stock 3D
+    irfftn bit-for-bit in math terms.  On TPU the stock fused 3D
+    irfftn returns WRONG VALUES at several cube sizes (measured:
+    256/272/288/336/348/352/384 give O(1) error while <=240, 292, 304,
+    320 are exact) — the decomposition is the correct path everywhere;
+    this test pins the equivalence on a well-behaved size."""
+    from thunder_tpu.ops.fourier import irfftn_safe
+
+    rng = np.random.default_rng(3)
+    for shape in ((24, 24, 24), (16, 16, 16)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        h = jnp.fft.rfftn(jnp.asarray(x))
+        a = np.asarray(irfftn_safe(h, shape, (0, 1, 2)))
+        b = np.asarray(jnp.fft.irfftn(h, s=shape, axes=(0, 1, 2)))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        np.testing.assert_allclose(a, x, atol=1e-4)
+    # 2D passes through to the stock transform
+    x2 = rng.standard_normal((32, 32)).astype(np.float32)
+    h2 = jnp.fft.rfftn(jnp.asarray(x2))
+    np.testing.assert_allclose(
+        np.asarray(irfftn_safe(h2, (32, 32), (0, 1))), x2, atol=1e-4)

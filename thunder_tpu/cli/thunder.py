@@ -123,6 +123,17 @@ def main(argv=None):
 
     log.info("reading %s", cfg.db)
     thu = read_thu(cfg.db)
+    # class-count sanity check (Optimiser.cpp:345-354, where the
+    # reference aborts): with fewer than MIN_N_IMAGES_PER_CLASS /
+    # CLASS_BALANCE_FACTOR images per class, classification cannot
+    # populate its classes.  Warn rather than abort — tiny synthetic
+    # workloads are legitimate here
+    max_k = int(len(thu) * 0.05 / 3)  # CLASS_BALANCE_FACTOR=0.05, MIN=3
+    if cfg.k > 1 and cfg.k > max_k:
+        log.warning(
+            "%d images support at most %d classes (requested %d); "
+            "the reference would abort here (Optimiser.cpp:345-354)",
+            len(thu), max_k, cfg.k)
     # Database::shuffle (Config.h:53): random image order decorrelates
     # the hemisphere split from acquisition order (deterministic seed:
     # every process derives the SAME global layout, Database.cpp:235)

@@ -84,6 +84,25 @@ def ifft3_centered(f: jax.Array) -> jax.Array:
     )
 
 
+def irfftn_safe(h: jax.Array, s, axes) -> jax.Array:
+    """3D inverse real FFT decomposed into per-axis transforms.
+
+    The TPU's fused 3D ``irfftn`` returns WRONG VALUES at certain cube
+    sizes — measured on hardware: 256/272/288/336/348/352/384 give
+    ~O(1) absolute error on unit-normal data (essentially every element
+    wrong) while 240 and below, 292, 304 and 320 are exact to 2e-6.
+    The forward ``rfftn``, the complex ``fftn``/``ifftn``, and every 2D
+    transform are correct at all tested sizes, so only this inverse is
+    decomposed: two complex ``ifft`` passes + one ``irfft`` pass,
+    identical math, correct everywhere, same FLOP count.  2D inputs
+    pass through to the stock ``irfftn``."""
+    if len(axes) < 3:
+        return jnp.fft.irfftn(h, s=s, axes=axes)
+    y = jnp.fft.ifft(h, axis=axes[0])
+    y = jnp.fft.ifft(y, axis=axes[1])
+    return jnp.fft.irfft(y, n=s[axes[2]], axis=axes[2])
+
+
 # -- real-space pad / extract ------------------------------------------
 
 def pad_rl(x: jax.Array, pf: int) -> jax.Array:

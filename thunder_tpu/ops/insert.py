@@ -306,6 +306,14 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
     n_b, nk = vals.shape[0], vals.shape[1]
     n_cls = w_cls.shape[0]
     ch = 3 * n_cls
+    # bound the height pass's working set: wz is (chunk, big, big, big)
+    # bf16 — at the rU-band grids (big >= 300) a chunk of 128 would be
+    # >10 GB, exhausting HBM (observed on hardware as all-NaN output
+    # grids, i.e. reads of never-written memory, NOT an allocation
+    # error).  Cap chunk so wz stays under ~2 GB; small grids keep the
+    # measured-fast chunk unchanged.
+    wz_cap = int(2e9 // (big ** 3 * 2))
+    chunk = max(8, min(chunk, (wz_cap // 8) * 8))
     pad = (-n_b) % chunk
     if pad:
         vals = jnp.pad(vals, ((0, pad), (0, 0), (0, 0)))

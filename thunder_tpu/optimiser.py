@@ -506,7 +506,10 @@ def _phase_body(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     par = pt.resample_t(kts, par, par.t.shape[1])
     par = pt.cal_vari_r(par, mode)
     par = pt.cal_vari_t(par)
-    vari = (jnp.mean(par.k1), jnp.mean(par.s0), jnp.mean(par.s1))
+    # s_d is untouched (constant) in non-CTF loops: the 4th stall stat
+    # never fires there
+    vari = (jnp.mean(par.k1), jnp.mean(par.s0), jnp.mean(par.s1),
+            jnp.mean(par.s_d))
     return par, vari
 
 
@@ -525,13 +528,22 @@ def _adaptive_phase_loop(key, par: pt.ParticleState, body_fn,
     """Bounded while_loop with the variance-stall stopping rule
     (Optimiser.cpp:1510-1614; PARTICLE_FILTER_DECREASE_FACTOR 0.95,
     N_PHASE_WITH_NO_VARI_DECREASE 1), shared by the plain and the
-    CTF-search phase loops.  ``body_fn(key, par) -> (par, (k1, s0, s1))``.
+    CTF-search phase loops.
+    ``body_fn(key, par) -> (par, (k1, s0, s1, s_d))`` — the stall
+    vector includes the DEFOCUS variance (the reference's
+    OPTIMISER_COMPRESS_CRITERIA stall checks variR/variT/variD,
+    Optimiser.cpp:1556-1566 + Config.h:222): in CTF rounds the d
+    variance keeps shrinking while the filter walks toward the true
+    defocus, so stopping on rotation/translation stall alone cut the
+    walk to ~3 phases and halved the recovered defocus error
+    (measured: median d 1.007 vs the reference's 1.017 at 32px,
+    BASELINE.md round-4 defocus diagnosis).
     Running the whole adaptive loop as ONE device program removes the
     per-phase host-device sync of a naive driver loop — the dominant
     cost on a remote-dispatch TPU.
 
     ``min_phase``/``max_phase`` are TRACED scalars and ``init`` an
-    optional carried (phase, n_no_dec, (k1, s0, s1)) state, so the same
+    optional carried (phase, n_no_dec, (k1, s0, s1, s_d)) state, so the same
     compiled program can run the loop in chunks: the round driver stops
     at a chunk boundary, re-evaluates the projection-table mode against
     the tightened clouds (brick engagement mid-round), and resumes with
@@ -551,11 +563,10 @@ def _adaptive_phase_loop(key, par: pt.ParticleState, body_fn,
         key, par, phase, n_no_dec, prev = state
         key, sub = jax.random.split(key)
         par, vari = body_fn(sub, par)
-        k1, s0, s1 = vari
-        pk1, ps0, ps1 = prev
-        decreased = jnp.logical_or(
-            k1 < pk1 * f, jnp.logical_or(s0 < ps0 * f, s1 < ps1 * f)
-        )
+        k1, s0, s1, s_d = vari
+        pk1, ps0, ps1, psd = prev
+        decreased = (k1 < pk1 * f) | (s0 < ps0 * f) | (s1 < ps1 * f) | \
+            (s_d < psd * f)
         # stalls only count once past the minimum phase count
         # (Optimiser.cpp:1510: the check sits inside `phase >= min`)
         n_no_dec = jnp.where(
@@ -563,11 +574,11 @@ def _adaptive_phase_loop(key, par: pt.ParticleState, body_fn,
             jnp.where(decreased, 0, n_no_dec + 1),
             0,
         )
-        return key, par, phase + 1, n_no_dec, (k1, s0, s1)
+        return key, par, phase + 1, n_no_dec, (k1, s0, s1, s_d)
 
     if init is None:
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                (big, big, big))
+                (big, big, big, big))
     phase0, n_no_dec0, prev0 = init
     state = (key, par, jnp.asarray(phase0, jnp.int32),
              jnp.asarray(n_no_dec0, jnp.int32),
@@ -646,7 +657,8 @@ def _phase_body_ctf(key, par: pt.ParticleState, cls, proj_stack, i_col, i_row,
     par = pt.cal_vari_r(par, mode)
     par = pt.cal_vari_t(par)
     par = pt.cal_vari_d(par)
-    vari = (jnp.mean(par.k1), jnp.mean(par.s0), jnp.mean(par.s1))
+    vari = (jnp.mean(par.k1), jnp.mean(par.s0), jnp.mean(par.s1),
+            jnp.mean(par.s_d))
     return par, vari
 
 
@@ -2468,7 +2480,7 @@ class Optimiser:
         fmax = float(np.finfo(np.float32).max)
         loop_state = (jnp.zeros((2,), jnp.int32),
                       jnp.zeros((2,), jnp.int32),
-                      jnp.full((2, 3), fmax, jnp.float32))
+                      jnp.full((2, 4), fmax, jnp.float32))
         par = s.par
         phases_done = 0
         dbg = os.environ.get("THUNDER_DEBUG_CHUNK")

@@ -43,6 +43,7 @@ from thunder_tpu.ops.fourier import (
     centered_quad_dev,
     centered_shell_dev,
     extract_rl,
+    irfftn_safe,
     radial_grid_dev,
 )
 from thunder_tpu.physics.kernels import mkb_rl, tik_rl
@@ -133,7 +134,10 @@ def balance_weights(t_grid: jax.Array, pf: int, max_radius: int,
     w0 = jnp.where(quad_inside_h, 1.0, 0.0).astype(jnp.float32)
 
     def convolute_c(c_half):
-        c_rl = jnp.fft.irfftn(c_half.astype(jnp.complex64), s=shape, axes=axes)
+        # irfftn_safe: the fused TPU 3D irfftn is numerically broken at
+        # several cube sizes (see ops/fourier.py) — a garbage convolve
+        # here silently destroys W and every map downstream
+        c_rl = irfftn_safe(c_half.astype(jnp.complex64), shape, axes)
         return jnp.fft.rfftn(c_rl * window, axes=axes)
 
     def body(state):
@@ -202,7 +206,7 @@ def finalize_reconstruction(f_grid: jax.Array, w: jax.Array, size: int,
     axes = tuple(range(ndim))
     c = big // 2
     half = jnp.fft.ifftshift(pad_dst, axes=axes)[..., :c + 1]
-    rl = jnp.fft.irfftn(half, s=pad_dst.shape, axes=axes)
+    rl = irfftn_safe(half, pad_dst.shape, axes)
     out = extract_rl(rl, pf)
     if grid_corr:
         corr = (_mkb_correction(size, ndim, pf) if kernel == "mkb"
