@@ -271,6 +271,62 @@ def _sweep_s1(valsc, ctfwc, wcc, co: dict, ch: int, chunk: int, nk: int,
 _Z_KERNEL_WIDTH = 2.0
 
 
+def sweep_chunk_budget(big: int, chunk: int = 128,
+                       wz_bytes: float = 2e9) -> int:
+    """Height-pass working-set cap: wz is (chunk, big^3) bf16 — at the
+    rU-band grids (big >= 300) an unbounded chunk exhausts HBM, which
+    this backend reports as all-NaN output grids (reads of
+    never-written memory), NOT an allocation error.  Multiples of 8
+    keep the contraction dimension lane-aligned."""
+    cap = int(wz_bytes // (big ** 3 * 2))
+    return max(8, min(chunk, (cap // 8) * 8))
+
+
+def _sweep_height_pass(acc, valsc, ctfwc, wcc, co: dict, ch: int,
+                       chunk: int, nk: int, hh, gg):
+    """One chunk of the 3-pass sweep accumulated into ``acc``
+    (the (big, big, 3*ch, big) canonical-axes accumulator)."""
+    big = gg.shape[0]
+    s1, alc2, bec2, case_c = _sweep_s1(valsc, ctfwc, wcc, co, ch,
+                                       chunk, nk, hh, gg)
+    # pass 1^T: spread along the height axis.  The height weights
+    # wz are the dominant HBM traffic of the whole inserter
+    # (chunk x big^3 floats per step), so: (a) the three
+    # height-axis cases are merged into ONE contraction by folding
+    # the case one-hot into s1 (wz is case-independent — the
+    # canonical coefficients already select per image), and (b) wz
+    # streams as bfloat16 (same fidelity class as the bf16
+    # projection tables; the contraction accumulates f32).  The
+    # einsum output puts the long height axis 'a' minor — as the
+    # dot's rhs free dim it lands in the MXU lanes, where the old
+    # per-case "->caml" form had only ch (=3K) lanes.
+    zeta = (alc2[:, None, None] * gg[None, None, :]
+            + bec2[:, None, None] * gg[None, :, None])   # (B, m, l)
+    zw = _Z_KERNEL_WIDTH
+    wz = (_hat((gg[None, :, None, None] - zeta[:, None]) / zw) / zw
+          ).astype(jnp.bfloat16)
+    s1c = (case_c[:, :, None, None, None] * s1[:, None]).reshape(
+        chunk, 3 * ch, big, big).astype(jnp.bfloat16)
+    contrib = jnp.einsum("bcml,baml->mlca", s1c, wz,
+                         preferred_element_type=jnp.float32)
+    return acc + contrib
+
+
+def _sweep_finalize(acc, n_cls: int, big: int):
+    """(m, l, case*ch, a) canonical accumulator -> (f, t) grids."""
+    ch = 3 * n_cls
+    # canonical (a, m, l) -> physical (z, y, x):
+    #   case x (a=x, m=z, l=y): V[ch, z, y, x] = acc[z, y, ch0, x]
+    #   case y (a=y, m=z, l=x): V[ch, z, y, x] = acc[z, x, ch1, y]
+    #   case z (a=z, m=y, l=x): V[ch, z, y, x] = acc[y, x, ch2, z]
+    acc = acc.reshape(big, big, 3, ch, big)
+    v = (jnp.transpose(acc[:, :, 0], (2, 0, 1, 3))
+         + jnp.transpose(acc[:, :, 1], (2, 0, 3, 1))
+         + jnp.transpose(acc[:, :, 2], (2, 3, 0, 1)))
+    v = v.reshape(n_cls, 3, big, big, big)
+    return jax.lax.complex(v[:, 0], v[:, 1]), v[:, 2]
+
+
 def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
                     w_cls: jax.Array, big: int, pf: int,
                     chunk: int = 128) -> tuple[jax.Array, jax.Array]:
@@ -306,14 +362,7 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
     n_b, nk = vals.shape[0], vals.shape[1]
     n_cls = w_cls.shape[0]
     ch = 3 * n_cls
-    # bound the height pass's working set: wz is (chunk, big, big, big)
-    # bf16 — at the rU-band grids (big >= 300) a chunk of 128 would be
-    # >10 GB, exhausting HBM (observed on hardware as all-NaN output
-    # grids, i.e. reads of never-written memory, NOT an allocation
-    # error).  Cap chunk so wz stays under ~2 GB; small grids keep the
-    # measured-fast chunk unchanged.
-    wz_cap = int(2e9 // (big ** 3 * 2))
-    chunk = max(8, min(chunk, (wz_cap // 8) * 8))
+    chunk = sweep_chunk_budget(big, chunk)
     pad = (-n_b) % chunk
     if pad:
         vals = jnp.pad(vals, ((0, pad), (0, 0), (0, 0)))
@@ -333,29 +382,8 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
 
     def chunk_step(acc, inp):
         valsc, ctfwc, wcc, co = inp
-        s1, alc2, bec2, case_c = _sweep_s1(valsc, ctfwc, wcc, co, ch,
-                                           chunk, nk, hh, gg)
-        # pass 1^T: spread along the height axis.  The height weights
-        # wz are the dominant HBM traffic of the whole inserter
-        # (chunk x big^3 floats per step), so: (a) the three
-        # height-axis cases are merged into ONE contraction by folding
-        # the case one-hot into s1 (wz is case-independent — the
-        # canonical coefficients already select per image), and (b) wz
-        # streams as bfloat16 (same fidelity class as the bf16
-        # projection tables; the contraction accumulates f32).  The
-        # einsum output puts the long height axis 'a' minor — as the
-        # dot's rhs free dim it lands in the MXU lanes, where the old
-        # per-case "->caml" form had only ch (=3K) lanes.
-        zeta = (alc2[:, None, None] * gg[None, None, :]
-                + bec2[:, None, None] * gg[None, :, None])   # (B, m, l)
-        zw = _Z_KERNEL_WIDTH
-        wz = (_hat((gg[None, :, None, None] - zeta[:, None]) / zw) / zw
-              ).astype(jnp.bfloat16)
-        s1c = (case_c[:, :, None, None, None] * s1[:, None]).reshape(
-            chunk, 3 * ch, big, big).astype(jnp.bfloat16)
-        contrib = jnp.einsum("bcml,baml->mlca", s1c, wz,
-                             preferred_element_type=jnp.float32)
-        return acc + contrib, 0.0
+        return _sweep_height_pass(acc, valsc, ctfwc, wcc, co, ch,
+                                  chunk, nk, hh, gg), 0.0
 
     acc0 = jnp.zeros((big, big, 3 * ch, big), jnp.float32)
     n_chunks = nb_pad // chunk
@@ -368,17 +396,7 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
         (r(vals), r(ctf2w), r(w_cls.T),
          jax.tree.map(r, coeffs)),
     )
-    # acc: (m, l, case*ch, a); canonical (a, m, l) -> physical (z, y, x):
-    #   case x (a=x, m=z, l=y): V[ch, z, y, x] = acc[z, y, ch0, x]
-    #   case y (a=y, m=z, l=x): V[ch, z, y, x] = acc[z, x, ch1, y]
-    #   case z (a=z, m=y, l=x): V[ch, z, y, x] = acc[y, x, ch2, z]
-    acc = acc.reshape(big, big, 3, ch, big)
-    v = (jnp.transpose(acc[:, :, 0], (2, 0, 1, 3))
-         + jnp.transpose(acc[:, :, 1], (2, 0, 3, 1))
-         + jnp.transpose(acc[:, :, 2], (2, 3, 0, 1)))
-    v = v.reshape(n_cls, 3, big, big, big)
-    f = jax.lax.complex(v[:, 0], v[:, 1])
-    return f, v[:, 2]
+    return _sweep_finalize(acc, n_cls, big)
 
 
 def insert_sweep_2d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,

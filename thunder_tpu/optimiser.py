@@ -1388,6 +1388,120 @@ def _insert_all_h(ft_ori, ctf_params, mask, i_col, i_row, quats, trans,
     return jax.vmap(one)(ft_ori, ctf_params, quats, trans, d_draw, w_l_all)
 
 
+@partial(jax.jit, static_argnames=("size", "pf", "n_sym", "grid_size",
+                                   "pixel_size", "use_d", "r_u"))
+def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
+                     sym_mats, max_radius_pad, size: int, pf: int,
+                     n_sym: int, grid_size: int, pixel_size: float,
+                     use_d: bool, r_u: int):
+    """ONE hemisphere's insertion over a FLAT, globally compacted slice
+    list (round-5 redesign of the 3D sweep path).
+
+    The old image-major layout ((L, n_slots) with most slots zero-weight)
+    made the sweep's cost proportional to L * n_slots even though the
+    compacted draws leave a median of only 3-27 distinct slices per
+    image (draw_poses_compact); and vmapping both hemispheres through
+    the sweep doubled peak HBM, which at the rU-band grids (big >= 300)
+    silently exhausted the chip and returned all-NaN grids.  Here the
+    caller gathers only the valid slices across the whole hemisphere
+    (quats (B, 4), w_sl (K, B), img_idx (B,)) into a bucketed static
+    shape, and hemispheres run as separate sequential dispatches.
+
+    Cost model parity: the reference's insertion work is
+    nPxl(rU) x mReco per image (Reconstructor.cpp:569-866); the sweep's
+    is n_slices x big^3 HBM traffic — flat compaction makes n_slices
+    the true distinct-pose count.
+    """
+    from thunder_tpu.ops.insert import (
+        _sweep_coeffs,
+        _sweep_finalize,
+        _sweep_height_pass,
+        sweep_chunk_budget,
+    )
+
+    c = size // 2
+    nk = 2 * r_u - 1
+    rr = r_u - 1
+    kk = jnp.arange(nk, dtype=jnp.int32) - rr
+    ky, kx = jnp.meshgrid(kk, kk, indexing="ij")
+    vc, vr = kx.reshape(-1), ky.reshape(-1)
+    q2 = (kx * kx + ky * ky).astype(jnp.float32)
+    # scatter-path parity: |f| < r_u - 1 cut (Reconstructor.cpp's
+    # QUAD < (maxRadius*pf)^2) with the DC doubled as in the
+    # half-space+fold path
+    mask_d = (q2 < (r_u - 1) * (r_u - 1)).astype(jnp.float32)
+    mask_d = (mask_d * jnp.where(q2 == 0, 2.0, 1.0)).reshape(-1)
+
+    n_cls = w_sl.shape[0]
+    ch = 3 * n_cls
+    big = grid_size * pf
+    n_flat = quats.shape[0]
+    chunk = sweep_chunk_budget(big, 128 if big < 256 else 64, 2.5e9)
+    n_chunks = (n_flat + chunk - 1) // chunk
+    padb = n_chunks * chunk - n_flat
+    if padb:
+        padfn = lambda a: jnp.pad(a, ((0, padb),) + ((0, 0),) * (a.ndim - 1))
+        quats = padfn(quats).at[n_flat:, 0].set(1.0)   # unit quat pads
+        trans = padfn(trans)
+        d_draw = jnp.pad(d_draw, (0, padb), constant_values=1.0)
+        img_idx = jnp.pad(img_idx, (0, padb))
+        w_sl = jnp.pad(w_sl, ((0, 0), (0, padb)))      # 0-weight pads
+    rot = rotate3d(quats)
+    coeffs = _sweep_coeffs(rot, pf)
+
+    dat = jax.lax.dynamic_slice(
+        ft, (0, c - rr, c - rr), (ft.shape[0], nk, nk))     # (L, nk, nk)
+
+    r_h = nk // 2
+    hh = jnp.arange(nk, dtype=jnp.float32) - r_h
+    gg = jnp.arange(big, dtype=jnp.float32) - big // 2
+
+    def rc(a):
+        return a.reshape((n_chunks, chunk) + a.shape[1:])
+
+    def step(acc, inp):
+        idx_c, tr_c, dd_c, w_c, co = inp
+        dat_c = jnp.take(dat, idx_c, axis=0).reshape(chunk, -1)
+        cp_c = jax.tree.map(lambda a: a[idx_c], cp)
+        tra = translate_phases_view(vc, vr, size, tr_c)
+        if use_d:
+            ctf = ctf_packed_scaled(cp_c, vc, vr, size, pixel_size,
+                                    dd_c[:, None])[:, 0]
+        else:
+            ctf = ctf_packed(cp_c, vc, vr, size, pixel_size)
+        vals = dat_c * jnp.conj(tra) * (ctf * mask_d)
+        ctf2w = ctf * ctf * mask_d
+        acc = _sweep_height_pass(
+            acc, vals.reshape(chunk, nk, nk),
+            ctf2w.reshape(chunk, nk, nk), w_c, co, ch, chunk, nk, hh, gg)
+        return acc, 0.0
+
+    acc0 = jnp.zeros((big, big, 3 * ch, big), jnp.float32)
+    acc, _ = jax.lax.scan(
+        step, acc0,
+        (rc(img_idx), rc(trans), rc(d_draw), rc(w_sl.T),
+         jax.tree.map(rc, coeffs)),
+    )
+    f, t = _sweep_finalize(acc, n_cls, big)
+    if n_sym > 1:
+        f = jax.vmap(lambda g: symmetrize_ft(g, sym_mats,
+                                             max_radius_pad))(f)
+        t = jnp.real(jax.vmap(lambda g: symmetrize_ft(
+            g.astype(jnp.complex64), sym_mats, max_radius_pad))(t))
+    return f, t
+
+
+@jax.jit
+def _flat_slice_order_h(w_sl_total):
+    """Per-hemisphere compaction order and count for the flat inserter:
+    w_sl_total (2, L, S) total insertion weight per slot -> (order
+    (2, L*S) valid-first stable permutation, n_valid (2,))."""
+    flat = w_sl_total.reshape(w_sl_total.shape[0], -1)
+    valid = flat > 0
+    order = jnp.argsort(~valid, axis=1, stable=True).astype(jnp.int32)
+    return order, jnp.sum(valid, axis=1)
+
+
 @partial(jax.jit, static_argnames=("grid_size", "pf", "max_radius",
                                    "map_wiener", "join_half", "grid_corr",
                                    "out_size", "kernel"))
@@ -2045,18 +2159,26 @@ class Optimiser:
         run_round), the single table built here is the brick table and
         every projecting stage passes the same brick statics."""
         cfg = self.cfg
-        # corner-row tables build at the ROUND's max gather radius
-        # (r_sig = rU), not the requesting stage's, so sigma, norm and
-        # the residual stages share ONE table per round.  BRICK tables
-        # build at the requesting PHASE band instead: with the
+        # TWO corner-row tiers (round-4 regression fix: one shared
+        # table at r_sig = rU put the PHASE loop's R~125 gathers onto a
+        # crop(rU)^3 table far past the row-gather cache cliff —
+        # measured 0.63 s -> 1.55 s/phase at 256px local rounds):
+        #   * kind None  — corner-row at the ROUND's max gather radius
+        #     (r_sig = rU): sigma, norm and the residual stages project
+        #     ONE rotation per image across the r..rU band and share
+        #     this table; any cached crop >= requested serves.
+        #   * kind "oct" — corner-row at EXACTLY the requested band:
+        #     the phase loop and global search issue L*R*P rows, and
+        #     their gather rate is set by the table's working set, so
+        #     they get their own crop(r) table (an extra ~0.1 s
+        #     zoom-DFT build per round, repaid many times over).
+        # BRICK tables build at the requesting PHASE band too: with the
         # reference band rU = r + maxR/3, a phase-band brick at
-        # crop(rU) would be ~8x the bytes the gathers address (worse
-        # cache line locality and over the table budget at 256px).
-        # kind: "round" follows the round's choice; None forces the
-        # corner-row table — single-rotation stages (sigma, norm/resid)
-        # gain nothing from brick sharing and pay its span^3-word rows
-        # (measured 145 -> 384 ms sigma at 256px)
-        kind = self._round_brick if kind == "round" else kind
+        # crop(rU) would be ~8x the bytes the gathers address.
+        if kind == "round":
+            kind = self._round_brick or "oct"
+        exact = kind == "oct"
+        family = "cr" if kind in (None, "oct") else kind
         if kind is None:
             r_tab = max(rings.r_u, getattr(self, "_round_r_sig", 0))
         else:
@@ -2066,18 +2188,20 @@ class Optimiser:
             return _prepare_projectee_stack_h(refs, cfg.size, cfg.pf,
                                               cfg.mode_2d, crop)
         ver = self.state.refs_version
-        # any cached table of the SAME kind whose crop covers the
-        # requested radius works (the brick statics carry b = its crop)
+        # a cached table of the SAME family serves if its crop covers
+        # the requested radius — exact-crop only for the hot-loop tier
+        # (a bigger table would silently reintroduce the cliff)
         for (c_have, k_have), (ver_have, stack) in                 self._proj_stack_cache.items():
-            if ver_have == ver and k_have == kind and c_have >= crop:
+            if (ver_have == ver and k_have == family
+                    and (c_have == crop if exact else c_have >= crop)):
                 return stack
-        stack = _prepare_projectee_stack_h(self.state.refs, cfg.size,
-                                           cfg.pf, cfg.mode_2d, crop,
-                                           kind)
+        stack = _prepare_projectee_stack_h(
+            self.state.refs, cfg.size, cfg.pf, cfg.mode_2d, crop,
+            None if family == "cr" else family)
         self._proj_stack_cache = {
             c: v for c, v in self._proj_stack_cache.items() if v[0] == ver
         }
-        self._proj_stack_cache[(crop, kind)] = (ver, stack)
+        self._proj_stack_cache[(crop, family)] = (ver, stack)
         return stack
 
     def _brick_statics(self, stack):
@@ -2420,7 +2544,7 @@ class Optimiser:
             for n_seg, rung in segs:
                 sub_idx = idx[:, pos:pos + n_seg]
                 pos += n_seg
-                stack = self._proj_stack(rings, kind=rung)
+                stack = self._proj_stack(rings, kind=rung or "oct")
                 brick = (None if rung is None
                          else (rung[0], rung[1],
                                stack.shape[2] * rung[1]))
@@ -2829,6 +2953,11 @@ class Optimiser:
         r_u = int(self.model.r_u)
         grid_size = self._reco_grid_size(r_u)
         rings = pack_rings(cfg.size, r_u, 0)
+        # every projecting stage of this round is done — free the
+        # projection tables (up to ~0.7 GB at 256px rU-band) before the
+        # inserter's big transient grids; the references change after
+        # reconstruction anyway, so the cache would be stale next use
+        self._proj_stack_cache.clear()
 
         self.key, kd = jax.random.split(self.key)
         keys = jax.random.split(kd, 2)
@@ -2898,8 +3027,14 @@ class Optimiser:
                 else:
                     f_acc, t_acc = f_acc + f_c, t_acc + t_c
             return f_acc, t_acc, r_u, grid_size
+        chunks = self._ft_chunks()
+        if (not cfg.mode_2d and cfg.reco_kernel != "mkb"
+                and len(chunks) == 1):
+            return self._insert_flat(quats, trans, d_draw, w_draw,
+                                     w_img, w_l_all, n_draw, use_d,
+                                     r_u, grid_size)
         f2 = t2 = None
-        for sl in self._ft_chunks():
+        for sl in chunks:
             f_c, t_c = _insert_all_h(
                 self._ft_ori_chunk(sl), _slice_l(self.data.ctf_params, sl),
                 rings.mask, rings.i_col, rings.i_row, quats[:, sl],
@@ -2911,6 +3046,53 @@ class Optimiser:
             )
             f2 = f_c if f2 is None else f2 + f_c
             t2 = t_c if t2 is None else t2 + t_c
+        return f2, t2, r_u, grid_size
+
+    def _insert_flat(self, quats, trans, d_draw, w_draw, w_img, w_l_all,
+                     n_draw: int, use_d: bool, r_u: int, grid_size: int):
+        """Flat-slice 3D insertion (see _insert_flat3d_h): gather only
+        the VALID compacted slices across each hemisphere into a
+        bucketed static shape, then insert hemispheres as two
+        sequential dispatches (halved peak HBM vs the vmapped pair —
+        the rU-band grids at 256px silently exhausted the chip and
+        returned NaN grids, the round-4 bench collapse)."""
+        cfg = self.cfg
+        s = self.state
+        n_l = int(s.par.r.shape[1])
+        if w_draw is None:
+            # uncompacted draws: every slot carries weight 1/n_draw,
+            # already folded into w_l_all (2, K, L) — broadcast it over
+            # the slot axis to the compacted layout (2, K, L, S)
+            w_draw = jnp.full((2, n_l, n_draw), 1.0 / n_draw, jnp.float32)
+            w_l_all = jnp.broadcast_to(w_l_all[..., None],
+                                       w_l_all.shape + (n_draw,))
+        n_slots = int(w_draw.shape[-1])
+        order, n_valid = _flat_slice_order_h(w_img[:, :, None] * w_draw)
+        nv = max(int(self._host(jnp.max(n_valid))), 1)
+        ladder = [n_l * m for m in (2, 4, 8, 16, 32)
+                  if n_l * m < n_l * n_slots] + [n_l * n_slots]
+        bucket = next(b for b in ladder if b >= nv)
+        take = order[:, :bucket]                        # (2, B)
+        img_idx = take // n_slots
+        qf = jnp.take_along_axis(quats.reshape(2, -1, 4),
+                                 take[..., None], axis=1)
+        tf = jnp.take_along_axis(trans.reshape(2, -1, 2),
+                                 take[..., None], axis=1)
+        df = jnp.take_along_axis(d_draw.reshape(2, -1), take, axis=1)
+        wf = jnp.take_along_axis(w_l_all.reshape(2, cfg.k, -1),
+                                 take[:, None, :], axis=2)
+        ft = self._ft_ori_chunk(self._ft_chunks()[0])
+        max_rad = jnp.asarray((r_u - 1) * cfg.pf, jnp.float32)
+        outs = []
+        for h in range(2):
+            outs.append(_insert_flat3d_h(
+                ft[h], jax.tree.map(lambda a: a[h], self.data.ctf_params),
+                qf[h], tf[h], df[h], wf[h], img_idx[h],
+                self.sym.matrices, max_rad, cfg.size, cfg.pf,
+                self.sym.order, grid_size, float(cfg.pixel_size),
+                use_d, r_u))
+        f2 = jnp.stack([o[0] for o in outs])
+        t2 = jnp.stack([o[1] for o in outs])
         return f2, t2, r_u, grid_size
 
     def _vol_sharded(self, grid_size: int) -> bool:
@@ -3142,6 +3324,10 @@ class Optimiser:
             record["proj_table"] = "brick%s" % (self._round_brick,)
             self._brick_used.add(self._round_brick)
         self._proj_stack(pack_rings(cfg.size, r_phase, 0))
+        if r_sig > r_phase:
+            # the sigma/norm tier (kind None, crop(rU)) builds here too
+            # so stage timings attribute both builds to build_table
+            self._proj_stack(pack_rings(cfg.size, r_sig, 0), kind=None)
         _mark("build_table")
 
         # expectation (skipE honored as in run, Optimiser.cpp:3630)
