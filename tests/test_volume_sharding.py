@@ -283,3 +283,37 @@ def test_sharded_512px_memory():
     out = np.asarray(out)
     assert out.shape == (2, 1, out_size, out_size, out_size)
     assert np.all(np.isfinite(out))
+
+
+def test_mkb_refused_under_volume_sharding():
+    """reco_kernel='mkb' + a data-axis mesh + boxes past the sharding
+    threshold must fail at CONFIG time, not silently fall back to
+    whole-volume grids (VERDICT r4 missing #4; the MKB blob is not
+    separable over the sweep's 1D passes, Reconstructor.cpp:424-567)."""
+    from thunder_tpu.config import ThunderConfig
+    from thunder_tpu.optimiser import Optimiser
+    from thunder_tpu.parallel.mesh import make_mesh
+    from thunder_tpu.physics.ctf import ctf_params
+
+    size, n = 24, 16
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((n, size, size)).astype(np.float32)
+    ctf = ctf_params(
+        np.full(n, 300e3), np.full(n, 500.0), np.full(n, 500.0),
+        np.zeros(n), np.full(n, 2e7), np.full(n, 0.1), np.zeros(n),
+    )
+    mesh = make_mesh(8, hemi=2)
+    kw = dict(
+        mode="3D", k=1, size=size, pixel_size=1.0, mask_radius=10.0,
+        trans_s=1.5, init_res=4.0, global_search_res=3.0, sym="C1",
+        m_s=64, m_l_r=8, m_l_t=6, m_reco=4, ignore_res=size * 1.0,
+        reco_kernel="mkb", vol_shard_min_mb=0,
+    )
+    with pytest.raises(ValueError, match="mkb"):
+        Optimiser(ThunderConfig(**kw), imgs, ctf,
+                  np.zeros(n, np.int64), mesh=mesh)
+
+    # below the sharding threshold the same config is accepted
+    kw["vol_shard_min_mb"] = 10 ** 6
+    Optimiser(ThunderConfig(**kw), imgs, ctf, np.zeros(n, np.int64),
+              mesh=mesh)

@@ -296,18 +296,22 @@ def _sweep_height_pass(acc, valsc, ctfwc, wcc, co: dict, ch: int,
     # the case one-hot into s1 (wz is case-independent — the
     # canonical coefficients already select per image), and (b) wz
     # streams as bfloat16 (same fidelity class as the bf16
-    # projection tables; the contraction accumulates f32).  The
-    # einsum output puts the long height axis 'a' minor — as the
-    # dot's rhs free dim it lands in the MXU lanes, where the old
-    # per-case "->caml" form had only ch (=3K) lanes.
-    zeta = (alc2[:, None, None] * gg[None, None, :]
-            + bec2[:, None, None] * gg[None, :, None])   # (B, m, l)
+    # projection tables; the contraction accumulates f32).
+    # BATCH-MAJOR layout (round-5 fix of the 10.5 s reco_insert
+    # stage, BENCH_r04): both dot operands carry the (m, l) batch
+    # dims LEADING and contiguous — the old "bcml,baml->mlca" form
+    # had them minor, forcing XLA to transpose the ~GB-scale wz
+    # field before every batched dot step.  The dot output lands
+    # directly in the accumulator's (m, l, c, a) layout.
+    zeta = (alc2[None, None, :] * gg[None, :, None]
+            + bec2[None, None, :] * gg[:, None, None])   # (m, l, B)
     zw = _Z_KERNEL_WIDTH
-    wz = (_hat((gg[None, :, None, None] - zeta[:, None]) / zw) / zw
-          ).astype(jnp.bfloat16)
-    s1c = (case_c[:, :, None, None, None] * s1[:, None]).reshape(
-        chunk, 3 * ch, big, big).astype(jnp.bfloat16)
-    contrib = jnp.einsum("bcml,baml->mlca", s1c, wz,
+    wz = (_hat((gg[None, None, None, :] - zeta[..., None]) / zw) / zw
+          ).astype(jnp.bfloat16)                          # (m, l, B, a)
+    s1t = jnp.transpose(s1, (2, 3, 1, 0))                 # (m, l, ch, B)
+    s1c = (case_c.T[None, None, :, None, :] * s1t[:, :, None]).reshape(
+        big, big, 3 * ch, chunk).astype(jnp.bfloat16)
+    contrib = jnp.einsum("mlcb,mlba->mlca", s1c, wz,
                          preferred_element_type=jnp.float32)
     return acc + contrib
 

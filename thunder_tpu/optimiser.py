@@ -1232,6 +1232,13 @@ def _draw_poses_h(keys, par, n_draw: int):
     return jax.vmap(lambda k, p: pt.draw_poses(k, p, n_draw))(keys, par)
 
 
+@partial(jax.jit, static_argnames=("s_d",))
+def _init_d_round_h(key, par, s_d: float):
+    """Per-CTF-round defocus support re-init (Particle::initD,
+    Optimiser.cpp:1195-1196) — see pt.init_d_round."""
+    return pt.init_d_round(key, par, s_d)
+
+
 @partial(jax.jit, static_argnames=("n_draw", "n_slots"))
 def _draw_poses_compact_h(keys, par, n_draw: int, n_slots: int):
     return jax.vmap(
@@ -1823,6 +1830,26 @@ class Optimiser:
         self.n_total = n
         self.n_group = int(group_id.max()) + 1 if n else 1
         self.mesh = mesh
+
+        # MKB insertion cannot ride the volume-sharded sweep (the sweep
+        # kernel is a sheared product of separable 1D hats; the radial
+        # MKB blob is not separable, Reconstructor.cpp:424-567's scatter
+        # path is whole-grid) — refuse at CONFIG time rather than
+        # silently falling back to whole-volume grids at big boxes
+        # (VERDICT r4 missing #4; DESIGN.md "MKB and volume sharding")
+        if (cfg.reco_kernel == "mkb" and not cfg.mode_2d
+                and mesh is not None and "data" in mesh.axis_names
+                and mesh.shape["data"] > 1
+                and (cfg.size * cfg.pf) ** 3 * 8 / 2 ** 20
+                >= cfg.vol_shard_min_mb):
+            raise ValueError(
+                "reco_kernel='mkb' is incompatible with volume-sharded "
+                "reconstruction (grids this size shard over the data "
+                "axis; the MKB blob is not separable over the sweep's "
+                "1D passes).  Use reco_kernel='trilinear' (the "
+                "reference default, Config.h:97), or raise "
+                f"vol_shard_min_mb above {(cfg.size * cfg.pf) ** 3 * 8 // 2 ** 20} "
+                "to keep whole-volume grids per device.")
 
         # shardings from the mesh (either axis may be absent)
         self._sh_img = None
@@ -2481,10 +2508,13 @@ class Optimiser:
         pf_small = (cfg.perturb_factor_s_global if is_global
                     else (cfg.perturb_factor_s_ctf if is_ctf
                           else cfg.perturb_factor_s_local))
-        if is_ctf and float(jnp.max(s.par.s_d)) == 0.0:
-            # first CTF round: seed the defocus std (ctfRefineS)
-            s.par = s.par._replace(
-                s_d=jnp.full_like(s.par.s_d, cfg.ctf_refine_s))
+        if is_ctf:
+            # EVERY CTF round re-initialises the defocus support around
+            # 1 at std ctfRefineS (Particle::initD in the phase-0
+            # branch, Optimiser.cpp:1195-1196) — the reference's
+            # defocus exploration mechanism (see pt.init_d_round)
+            self.key, kd0 = jax.random.split(self.key)
+            s.par = _init_d_round_h(kd0, s.par, float(cfg.ctf_refine_s))
 
         def run_batch(par, cls, max_phase, loop_state, proj_stack, brick,
                       data_pack):

@@ -182,6 +182,28 @@ def from_thu(quat: np.ndarray, trans: np.ndarray, std_trans: np.ndarray,
     )
 
 
+def init_d_round(key: jax.Array, state: ParticleState,
+                 s_d: float) -> ParticleState:
+    """Particle::initD at the start of EVERY CTF-search round
+    (Optimiser.cpp:1195-1196 calls initD(mLD, ctfRefineS) in the
+    phase-0 branch): the defocus support RE-SCATTERS around exactly 1
+    with std ctfRefineS (PARTICLE_DEFOCUS_INIT_GAUSSIAN, Config.h:59;
+    Particle.cpp:281-312), weights uniform, and s_d re-measured from
+    the fresh sample (calVari PAR_D, Particle.cpp:1138).
+
+    This per-round re-init is the reference's defocus EXPLORATION
+    mechanism: a persistent d cloud's std shrinks under resampling
+    round over round, starving the random walk (the measured 32px
+    median-d gap, BASELINE.md round-4 diagnosis); re-initialising
+    restores a fixed exploration width every round while topD keeps
+    the running estimate."""
+    n_d = state.d.shape[-1]
+    d = 1.0 + jax.random.normal(key, state.d.shape) * s_d
+    uni = jnp.full(state.d.shape, 1.0 / n_d, dtype=jnp.float32)
+    state = state._replace(d=d.astype(jnp.float32), w_d=uni, u_d=uni)
+    return cal_vari_d(state)
+
+
 # -- variance inference (Particle::calVari, Particle.cpp:1004-1142) -----
 
 

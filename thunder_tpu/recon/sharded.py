@@ -375,35 +375,37 @@ def insert_sweep_3d_sharded(mesh, vals, ctf2w, rot, w_cls, big: int,
             bec2 = jax.lax.all_gather(bec2, "data", axis=0, tiled=True)
             case_c = jax.lax.all_gather(case_c, "data", axis=0, tiled=True)
 
-            zeta = (alc2[:, None, None] * gg[None, None, :]
-                    + bec2[:, None, None] * gg[None, :, None])
             zw = _Z_KERNEL_WIDTH
-            # height weights stream as bf16 with the long grid axis as
-            # the dot's rhs free dim (MXU lanes) and the case one-hots
-            # folded into s1 — the same traffic/lane fix as the
-            # unsharded inserter (ops/insert.py chunk_step), split here
-            # by which canonical axis is the sharded slab
+            # height weights stream as bf16 and both dot operands carry
+            # the (m, l) batch dims LEADING (batch-major, the round-5
+            # reco_insert fix in ops/insert.py:_sweep_height_pass — the
+            # old minor-batch form forced operand transposes of the
+            # GB-scale hat field); the case one-hots fold into s1,
+            # split here by which canonical axis is the sharded slab
             # case z: the height axis IS the sharded axis
-            wz = (_hat((gg_a[None, :, None, None] - zeta[:, None]) / zw)
-                  / zw).astype(jnp.bfloat16)
-            s1z = (case_c[:, 2, None, None, None] * s1).astype(jnp.bfloat16)
+            zeta = (alc2[None, None, :] * gg[None, :, None]
+                    + bec2[None, None, :] * gg[:, None, None])  # (m,l,b)
+            wz = (_hat((gg_a[None, None, None, :] - zeta[..., None]) / zw)
+                  / zw).astype(jnp.bfloat16)                    # (m,l,b,bz)
+            s1z = ((case_c[:, 2, None, None, None] * s1)
+                   .transpose(2, 3, 1, 0)).astype(jnp.bfloat16)  # (m,l,c,b)
             acc_z = acc[0] + jnp.einsum(
-                "bcml,baml->mlca", s1z, wz,
+                "mlcb,mlba->mlca", s1z, wz,
                 preferred_element_type=jnp.float32)
             # cases y and x: the canonical m axis is the sharded one;
             # both share wz_m, so they merge into one contraction
             m_lo = j * bz
             s1_m = jax.lax.dynamic_slice_in_dim(s1, m_lo, bz, axis=2)
-            zeta_m = (alc2[:, None, None] * gg[None, None, :]
-                      + bec2[:, None, None] * gg_a[None, :, None])
-            wz_m = (_hat((gg[None, :, None, None]
-                          - zeta_m[:, None]) / zw) / zw).astype(jnp.bfloat16)
+            zeta_m = (alc2[None, None, :] * gg[None, :, None]
+                      + bec2[None, None, :] * gg_a[:, None, None])
+            wz_m = (_hat((gg[None, None, None, :]
+                          - zeta_m[..., None]) / zw) / zw).astype(jnp.bfloat16)
             s1_yx = jnp.concatenate(
                 [case_c[:, 1, None, None, None] * s1_m,
                  case_c[:, 0, None, None, None] * s1_m], axis=1,
-            ).astype(jnp.bfloat16)
+            ).transpose(2, 3, 1, 0).astype(jnp.bfloat16)        # (m,l,2c,b)
             acc_yx = acc[1] + jnp.einsum(
-                "bcml,baml->mlca", s1_yx, wz_m,
+                "mlcb,mlba->mlca", s1_yx, wz_m,
                 preferred_element_type=jnp.float32)
             return (acc_z, acc_yx), 0.0
 
