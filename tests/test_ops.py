@@ -441,3 +441,64 @@ def test_irfftn_safe_matches_stock():
     h2 = jnp.fft.rfftn(jnp.asarray(x2))
     np.testing.assert_allclose(
         np.asarray(irfftn_safe(h2, (32, 32), (0, 1))), x2, atol=1e-4)
+
+
+def test_insert_sweep_flat3d_matches_dense_sweep():
+    """The windowed flat inserter (insert_sweep_flat3d) must agree with
+    the dense sweep on the same slices — for TIGHT orientation batches
+    (every chunk takes the windowed branch) AND SPREAD batches (dense
+    fallback chunks) AND a mix.  The hat weights are identical; only
+    the evaluated support changes, so agreement is to bf16 matmul
+    noise."""
+    from thunder_tpu.geometry.quaternion import random_quat, rotate3d
+    from thunder_tpu.ops.insert import insert_sweep_3d, insert_sweep_flat3d
+
+    size, pf, r_u = 24, 2, 10
+    big = size * pf
+    nk = 2 * r_u - 1
+    rng = np.random.default_rng(11)
+    key = jax.random.PRNGKey(5)
+
+    def batch(n, tight):
+        if tight:
+            # clouds around one pose: small-angle perturbations
+            base = np.asarray(random_quat(key, (1,)))[0]
+            ax = rng.standard_normal((n, 3))
+            ax /= np.linalg.norm(ax, axis=1, keepdims=True)
+            ang = rng.uniform(0, 0.02, n)
+            pert = np.concatenate([np.cos(ang / 2)[:, None],
+                                   np.sin(ang / 2)[:, None] * ax], axis=1)
+            w, x, y, z = pert.T
+            w2, x2, y2, z2 = base
+            q = np.stack([
+                w * w2 - x * x2 - y * y2 - z * z2,
+                w * x2 + x * w2 + y * z2 - z * y2,
+                w * y2 - x * z2 + y * w2 + z * x2,
+                w * z2 + x * y2 - y * x2 + z * w2], axis=1)
+        else:
+            q = np.asarray(random_quat(jax.random.PRNGKey(n), (n,)))
+        return jnp.asarray(q.astype(np.float32))
+
+    vals = (rng.standard_normal((96, nk, nk))
+            + 1j * rng.standard_normal((96, nk, nk))).astype(np.complex64)
+    ctf2w = rng.uniform(0.1, 1.0, (96, nk, nk)).astype(np.float32)
+    w_cls = rng.uniform(0.2, 1.0, (1, 96)).astype(np.float32)
+
+    for name, q in (("tight", batch(96, True)),
+                    ("spread", batch(96, False)),
+                    ("mix", jnp.concatenate([batch(48, True),
+                                             batch(48, False)]))):
+        rot = rotate3d(q)
+        f0, t0 = insert_sweep_3d(jnp.asarray(vals), jnp.asarray(ctf2w),
+                                 rot, jnp.asarray(w_cls), big, pf,
+                                 chunk=32)
+        f1, t1 = insert_sweep_flat3d(jnp.asarray(vals),
+                                     jnp.asarray(ctf2w), rot,
+                                     jnp.asarray(w_cls), big, pf,
+                                     chunk=32, win=24)
+        sc = float(jnp.max(jnp.abs(t0)))
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t0),
+                                   atol=2e-2 * sc, err_msg=name)
+        sf = float(jnp.max(jnp.abs(f0)))
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                   atol=2e-2 * sf, err_msg=name)

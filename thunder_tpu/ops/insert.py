@@ -316,6 +316,124 @@ def _sweep_height_pass(acc, valsc, ctfwc, wcc, co: dict, ch: int,
     return acc + contrib
 
 
+def _sweep_sort_key(co: dict, n_bins: int = 48):
+    """Slice ordering for the WINDOWED height pass: (case, quantized
+    alpha, beta).  Consecutive slices then share a height-axis case and
+    near-identical shear coefficients, so each scan chunk's hat field
+    fits a narrow window around the chunk's mean shear plane instead of
+    the full grid axis (the dense wz field is 84 MB/slice at 256px
+    rU-band grids — the measured reco_insert wall, BENCH_r04)."""
+    alc2 = jnp.where(co["swap_ml"], co["beta"], co["alpha"])
+    bec2 = jnp.where(co["swap_ml"], co["alpha"], co["beta"])
+    case = jnp.argmax(co["case_oh"], axis=-1).astype(jnp.int32)
+    abin = jnp.clip(((alc2 + 1.5) * (n_bins / 3.0)).astype(jnp.int32),
+                    0, n_bins - 1)
+    order = jnp.lexsort((bec2, abin, case))
+    return order, alc2, bec2, case
+
+
+def _height_windowed_update(acc, s1, alc2, bec2, case_idx, ch: int,
+                            gg, win: int):
+    """Height pass, WINDOWED: the chunk's slices share a height case
+    and tight shear coefficients (guaranteed by the caller's cond), so
+    the a-axis hat field only spans ``win`` cells around the chunk's
+    midrange shear plane c0(m, l); the windowed contribution is then
+    added into the case's accumulator slab through an a-axis gather
+    (take_along_axis) — big^3-per-slice HBM traffic becomes
+    win*big^2-per-slice.
+
+    acc: (3, big, big, ch, big) per-case canonical accumulator.
+    s1:  (chunk, ch, m, l) canonical in-plane rasters.
+    """
+    big = gg.shape[0]
+    zw = _Z_KERNEL_WIDTH
+    abar = 0.5 * (jnp.max(alc2) + jnp.min(alc2))
+    bbar = 0.5 * (jnp.max(bec2) + jnp.min(bec2))
+    c0 = jnp.round(abar * gg[None, :] + bbar * gg[:, None])    # (m, l)
+    zeta = (alc2[None, None, :] * gg[None, :, None]
+            + bec2[None, None, :] * gg[:, None, None])         # (m, l, b)
+    ww = jnp.arange(win, dtype=jnp.float32) - win // 2
+    # window slot w holds centered coordinate c0 + ww[w]
+    aw = c0[..., None, None] + ww[None, None, None, :]
+    wzw = (_hat((aw - zeta[..., :, None]) / zw) / zw
+           ).astype(jnp.bfloat16)                              # (m,l,b,w)
+    s1t = jnp.transpose(s1, (2, 3, 1, 0)).astype(jnp.bfloat16)  # (m,l,c,b)
+    cwin = jnp.einsum("mlcb,mlbw->mlcw", s1t, wzw,
+                      preferred_element_type=jnp.float32)
+    cwin = jnp.pad(cwin, ((0, 0), (0, 0), (0, 0), (0, 1)))     # zero slot
+    j = (gg[None, None, :] - c0[..., None] + win // 2).astype(jnp.int32)
+    j = jnp.where((j >= 0) & (j < win), j, win)                # (m, l, a)
+    upd = jnp.take_along_axis(cwin, j[:, :, None, :], axis=-1)  # (m,l,c,a)
+    slab = jax.lax.dynamic_slice(
+        acc, (case_idx, 0, 0, 0, 0), (1, big, big, ch, big))
+    return jax.lax.dynamic_update_slice(
+        acc, slab + upd[None], (case_idx, 0, 0, 0, 0))
+
+
+def _height_dense_update(acc, s1, alc2, bec2, case_c, ch: int, gg,
+                         sub: int = 16):
+    """Height pass, DENSE fallback for chunks whose shear coefficients
+    spread past the window (mixed-orientation global-round chunks):
+    the full (m, l, b, a) hat field, sub-chunked so the bf16 field
+    stays ~1.3 GB, accumulated into the per-case acc layout."""
+    big = gg.shape[0]
+    zw = _Z_KERNEL_WIDTH
+    chunk = s1.shape[0]
+    n_sub = max(1, chunk // sub)
+    sub = chunk // n_sub
+
+    def body(i, acc):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * sub, sub, 0)
+        al, be, cc = sl(alc2), sl(bec2), sl(case_c)
+        s1s = sl(s1)
+        zeta = (al[None, None, :] * gg[None, :, None]
+                + be[None, None, :] * gg[:, None, None])
+        wz = (_hat((gg[None, None, None, :] - zeta[..., None]) / zw) / zw
+              ).astype(jnp.bfloat16)                           # (m,l,b,a)
+        s1t = jnp.transpose(s1s, (2, 3, 1, 0))                 # (m,l,c,b)
+        s1c = (cc.T[None, None, :, None, :] * s1t[:, :, None]).reshape(
+            big, big, 3 * ch, sub).astype(jnp.bfloat16)
+        contrib = jnp.einsum("mlcb,mlba->mlca", s1c, wz,
+                             preferred_element_type=jnp.float32)
+        contrib = contrib.reshape(big, big, 3, ch, big)
+        return acc + jnp.transpose(contrib, (2, 0, 1, 3, 4))
+
+    return jax.lax.fori_loop(0, n_sub, body, acc)
+
+
+def _sweep_height_pass_v2(acc, valsc, ctfwc, wcc, co: dict, ch: int,
+                          chunk: int, nk: int, hh, gg, win: int = 64):
+    """One SORTED chunk of the 3-pass sweep into the per-case
+    accumulator (3, big, big, ch, big): windowed height pass when the
+    chunk is case-uniform with window-tight shear coefficients (the
+    caller sorted by _sweep_sort_key, so at local rounds nearly every
+    chunk qualifies), dense fallback otherwise."""
+    big = gg.shape[0]
+    s1, alc2, bec2, case_c = _sweep_s1(valsc, ctfwc, wcc, co, ch,
+                                       chunk, nk, hh, gg)
+    case = jnp.argmax(case_c, axis=-1).astype(jnp.int32)
+    uniform = jnp.all(case == case[0])
+    dev = (0.5 * (jnp.max(alc2) - jnp.min(alc2))
+           + 0.5 * (jnp.max(bec2) - jnp.min(bec2))) * (big // 2)
+    ok = jnp.logical_and(uniform, dev + _Z_KERNEL_WIDTH + 1.0 <= win // 2)
+    return jax.lax.cond(
+        ok,
+        lambda a: _height_windowed_update(a, s1, alc2, bec2, case[0],
+                                          ch, gg, win),
+        lambda a: _height_dense_update(a, s1, alc2, bec2, case_c, ch, gg),
+        acc)
+
+
+def _sweep_finalize_case(acc, n_cls: int, big: int):
+    """(3, m, l, ch, a) per-case canonical accumulator -> (f, t)."""
+    ch = 3 * n_cls
+    v = (jnp.transpose(acc[0], (2, 0, 1, 3))
+         + jnp.transpose(acc[1], (2, 0, 3, 1))
+         + jnp.transpose(acc[2], (2, 3, 0, 1)))
+    v = v.reshape(n_cls, 3, big, big, big)
+    return jax.lax.complex(v[:, 0], v[:, 1]), v[:, 2]
+
+
 def _sweep_finalize(acc, n_cls: int, big: int):
     """(m, l, case*ch, a) canonical accumulator -> (f, t) grids."""
     ch = 3 * n_cls
@@ -401,6 +519,70 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
          jax.tree.map(r, coeffs)),
     )
     return _sweep_finalize(acc, n_cls, big)
+
+
+def flat_chunk_budget(big: int, win: int = 64,
+                      wzw_bytes: float = 1.5e9) -> int:
+    """Scan-chunk size for the windowed flat inserter: the windowed hat
+    field is (big^2, chunk, win) bf16; bigger chunks amortize the
+    accumulator's read-modify-write per step."""
+    cap = int(wzw_bytes // (big * big * win * 2))
+    return max(8, min(128, (cap // 8) * 8))
+
+
+def insert_sweep_flat3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
+                        w_cls: jax.Array, big: int, pf: int,
+                        chunk: int | None = None,
+                        win: int = 64) -> tuple[jax.Array, jax.Array]:
+    """Sorted windowed-height shear-sweep insertion (insert_sweep_3d
+    semantics, round-5 kernel): slices sort by (height case, shear
+    coefficients) so each scan chunk's height hat field fits a
+    ``win``-cell window around the chunk's midrange shear plane — the
+    dense big^3-per-slice field was the measured 62% of 256px local
+    rounds (BENCH_r04; Reconstructor.cpp:569-866 is the matched
+    scatter).  Bitwise-equal hat weights; only the evaluation support
+    (where the hat is zero anyway) shrinks."""
+    n_b, nk = vals.shape[0], vals.shape[1]
+    n_cls = w_cls.shape[0]
+    ch = 3 * n_cls
+    if chunk is None:
+        chunk = flat_chunk_budget(big, win)
+    pad = (-n_b) % chunk
+    if pad:
+        vals = jnp.pad(vals, ((0, pad), (0, 0), (0, 0)))
+        ctf2w = jnp.pad(ctf2w, ((0, pad), (0, 0), (0, 0)))
+        rot = jnp.pad(rot, ((0, pad), (0, 0), (0, 0)))
+        rot = rot.at[n_b:].set(jnp.broadcast_to(jnp.eye(3), (pad, 3, 3)))
+        w_cls = jnp.pad(w_cls, ((0, 0), (0, pad)))
+    nb_pad = vals.shape[0]
+
+    coeffs = _sweep_coeffs(rot, pf)
+    order, _, _, _ = _sweep_sort_key(coeffs)
+    vals = vals[order]
+    ctf2w = ctf2w[order]
+    w_cls = w_cls[:, order]
+    coeffs = jax.tree.map(lambda a: a[order], coeffs)
+
+    c = big // 2
+    r_h = nk // 2
+    hh = jnp.arange(nk, dtype=jnp.float32) - r_h
+    gg = jnp.arange(big, dtype=jnp.float32) - c
+    n_chunks = nb_pad // chunk
+
+    def r(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    def chunk_step(acc, inp):
+        valsc, ctfwc, wcc, co = inp
+        return _sweep_height_pass_v2(acc, valsc, ctfwc, wcc, co, ch,
+                                     chunk, nk, hh, gg, win), 0.0
+
+    acc0 = jnp.zeros((3, big, big, ch, big), jnp.float32)
+    acc, _ = jax.lax.scan(
+        chunk_step, acc0,
+        (r(vals), r(ctf2w), r(w_cls.T), jax.tree.map(r, coeffs)),
+    )
+    return _sweep_finalize_case(acc, n_cls, big)
 
 
 def insert_sweep_2d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,

@@ -1421,9 +1421,10 @@ def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
     """
     from thunder_tpu.ops.insert import (
         _sweep_coeffs,
-        _sweep_finalize,
-        _sweep_height_pass,
-        sweep_chunk_budget,
+        _sweep_finalize_case,
+        _sweep_height_pass_v2,
+        _sweep_sort_key,
+        flat_chunk_budget,
     )
 
     c = size // 2
@@ -1443,7 +1444,7 @@ def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
     ch = 3 * n_cls
     big = grid_size * pf
     n_flat = quats.shape[0]
-    chunk = sweep_chunk_budget(big, 128 if big < 256 else 64, 2.5e9)
+    chunk = flat_chunk_budget(big)
     n_chunks = (n_flat + chunk - 1) // chunk
     padb = n_chunks * chunk - n_flat
     if padb:
@@ -1455,6 +1456,14 @@ def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
         w_sl = jnp.pad(w_sl, ((0, 0), (0, padb)))      # 0-weight pads
     rot = rotate3d(quats)
     coeffs = _sweep_coeffs(rot, pf)
+    # sort by (height case, shear coefficients) so the windowed height
+    # pass engages on nearly every chunk (see _sweep_sort_key)
+    order_s, _, _, _ = _sweep_sort_key(coeffs)
+    trans = trans[order_s]
+    d_draw = d_draw[order_s]
+    img_idx = img_idx[order_s]
+    w_sl = w_sl[:, order_s]
+    coeffs = jax.tree.map(lambda a: a[order_s], coeffs)
 
     dat = jax.lax.dynamic_slice(
         ft, (0, c - rr, c - rr), (ft.shape[0], nk, nk))     # (L, nk, nk)
@@ -1478,18 +1487,18 @@ def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
             ctf = ctf_packed(cp_c, vc, vr, size, pixel_size)
         vals = dat_c * jnp.conj(tra) * (ctf * mask_d)
         ctf2w = ctf * ctf * mask_d
-        acc = _sweep_height_pass(
+        acc = _sweep_height_pass_v2(
             acc, vals.reshape(chunk, nk, nk),
             ctf2w.reshape(chunk, nk, nk), w_c, co, ch, chunk, nk, hh, gg)
         return acc, 0.0
 
-    acc0 = jnp.zeros((big, big, 3 * ch, big), jnp.float32)
+    acc0 = jnp.zeros((3, big, big, ch, big), jnp.float32)
     acc, _ = jax.lax.scan(
         step, acc0,
         (rc(img_idx), rc(trans), rc(d_draw), rc(w_sl.T),
          jax.tree.map(rc, coeffs)),
     )
-    f, t = _sweep_finalize(acc, n_cls, big)
+    f, t = _sweep_finalize_case(acc, n_cls, big)
     if n_sym > 1:
         f = jax.vmap(lambda g: symmetrize_ft(g, sym_mats,
                                              max_radius_pad))(f)
@@ -2637,6 +2646,7 @@ class Optimiser:
                       jnp.full((2, 4), fmax, jnp.float32))
         par = s.par
         phases_done = 0
+        n_boundary = 0
         dbg = os.environ.get("THUNDER_DEBUG_CHUNK")
         while True:
             t_c = time.time()
@@ -2651,7 +2661,15 @@ class Optimiser:
                 (self._round_brick is None and not routed)
                 or (routed and any(r is None
                                    for _, r in self._round_segs)))
-            nxt = (min(phases_done + chunk, MAX_N_PHASE_PER_ITER)
+            # EXPONENTIAL boundary spacing (2, 4, 8, ... phases): the
+            # migration opportunities are front-loaded — clouds tighten
+            # within 1-2 phases of the first resamples — while a round
+            # that keeps its corner-row tail (the persistent-outlier
+            # case, measured 28-phase 256px local rounds) pays the
+            # ~150 ms round-trip + segment re-dispatch at EVERY fixed
+            # boundary for nothing: 14 boundaries -> 4.
+            nxt = (min(phases_done + chunk * 2 ** n_boundary,
+                       MAX_N_PHASE_PER_ITER)
                    if boundary else MAX_N_PHASE_PER_ITER)
             if routed:
                 par, phase, n_no_dec, prev = run_routed(
@@ -2677,6 +2695,7 @@ class Optimiser:
                 & (nnd >= N_PHASE_WITH_NO_VARI_DECREASE))
             if done.all():
                 break
+            n_boundary += 1
             phases_done = int(ph.max())
             loop_state = (phase, n_no_dec, prev)
             s.par = par

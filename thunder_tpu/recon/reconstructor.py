@@ -264,25 +264,30 @@ def reconstruct_two_pass(f_grid: jax.Array, t_grid: jax.Array,
     32px CLI workload: final-map corr 0.66 -> 0.02 and one to two FSC
     shells lost per round.
 
-    Returns (rec_fsc, rec_map)."""
+    Returns (rec_fsc, rec_map).
+
+    The two balance loops run as ONE vmapped while_loop (round-5): the
+    batching rule masks each lane's carry by its own stopping
+    predicate, so per-lane results are the independent loops' results
+    exactly, while the FFT pair per iteration batches over both lanes
+    and the dispatch count drops from N1+N2 to max(N1, N2) — the
+    balance loops were the bulk of the measured 2.8 s reco_fsc stage
+    at 256px (BENCH_r04 roofline)."""
     t_real = jnp.real(t_grid) if jnp.iscomplexobj(t_grid) else t_grid
+    t_w = wiener_filter_t(t_real, fsc_curve, pf, max_radius, join_half)
+    t12 = jnp.stack([t_real, t_w])
     if grid_corr:
-        w1 = balance_weights(t_real, pf, max_radius)
+        w12 = jax.vmap(
+            lambda t: balance_weights(t, pf, max_radius))(t12)
     else:
         big, ndim = t_real.shape[-1], t_real.ndim
         quad_inside = _quad_inside(big, ndim, max_radius * pf)
-        w1 = jnp.where(quad_inside, 1.0 / jnp.maximum(t_real, T_MIN), 0.0)
-    rec_fsc = finalize_reconstruction(f_grid, w1, size, pf, max_radius,
-                                      grid_corr, kernel)
-    t_w = wiener_filter_t(t_real, fsc_curve, pf, max_radius, join_half)
-    if grid_corr:
-        w2 = balance_weights(t_w, pf, max_radius)
-    else:
-        big, ndim = t_w.shape[-1], t_w.ndim
-        quad_inside = _quad_inside(big, ndim, max_radius * pf)
-        w2 = jnp.where(quad_inside, 1.0 / jnp.maximum(t_w, T_MIN), 0.0)
-    rec_map = finalize_reconstruction(f_grid, w2, size, pf, max_radius,
-                                      grid_corr, kernel)
+        w12 = jnp.where(quad_inside[None],
+                        1.0 / jnp.maximum(t12, T_MIN), 0.0)
+    rec_fsc, rec_map = jax.vmap(
+        lambda w: finalize_reconstruction(f_grid, w, size, pf,
+                                          max_radius, grid_corr, kernel))(
+        w12)
     return rec_fsc, rec_map
 
 
