@@ -19,7 +19,9 @@ from thunder_tpu.ops.insert import insert_sweep_3d, insert_sweep_flat3d
 
 
 def sync(x):
-    return float(jax.device_get(jnp.ravel(x[0])[0]).real)
+    # axon: complex d2h transfers are UNIMPLEMENTED — sync on the real
+    # T grid (same program as F)
+    return float(jax.device_get(jnp.ravel(x[1])[0]))
 
 
 def local_quats(n_img, n_draw, dev=0.01, seed=0):

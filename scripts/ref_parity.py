@@ -88,6 +88,13 @@ def main():
                         "(reference demo.json workload)")
     p.add_argument("--skip-ref", action="store_true",
                    help="reuse an existing output_ref")
+    p.add_argument("--skip-tpu", action="store_true",
+                   help="run/refresh only the reference side (stage the "
+                        "expensive halves separately on the 1-core box)")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "axon"],
+                   help="backend for the thunder-tpu side: cpu (default; "
+                        "hermetic) or axon (the real TPU chip — the "
+                        "production-box parity runs, VERDICT r4 #5)")
     a = p.parse_args()
 
     wd = os.path.abspath(a.workdir)
@@ -128,11 +135,19 @@ def main():
             shutil.rmtree(ref_out)
         os.rename(out_dir, ref_out)
 
+    if a.skip_tpu:
+        json.dump(report, open(os.path.join(wd, "parity_report.json"),
+                               "w"), indent=1)
+        print("reference side done (--skip-tpu); rerun with --skip-ref")
+        return
+
     # -- thunder-tpu run ------------------------------------------------
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
+    plat = ("import jax; jax.config.update('jax_platforms','cpu');"
+            if a.platform == "cpu" else "")
     sh([sys.executable, "-c",
-        "import jax; jax.config.update('jax_platforms','cpu');"
+        plat +
         "import sys; sys.path.insert(0, %r);"
         "from thunder_tpu.cli import thunder;"
         "sys.argv=['thunder', %r]; thunder.main()" % (REPO, cfg_path)],
