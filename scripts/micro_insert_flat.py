@@ -55,11 +55,14 @@ def main():
     pf = 2
 
     rng = np.random.default_rng(1)
-    vals = (rng.standard_normal((n, nk, nk))
-            + 1j * rng.standard_normal((n, nk, nk))).astype(np.complex64)
+    # complex h2d transfers are UNIMPLEMENTED on the axon backend:
+    # ship re/im as f32 and form complex on device
+    vr = rng.standard_normal((n, nk, nk)).astype(np.float32)
+    vi = rng.standard_normal((n, nk, nk)).astype(np.float32)
     ctf2w = rng.uniform(0.1, 1.0, (n, nk, nk)).astype(np.float32)
     w_cls = rng.uniform(0.2, 1.0, (1, n)).astype(np.float32)
-    v, cw, wc = jnp.asarray(vals), jnp.asarray(ctf2w), jnp.asarray(w_cls)
+    v = jax.jit(jax.lax.complex)(jnp.asarray(vr), jnp.asarray(vi))
+    cw, wc = jnp.asarray(ctf2w), jnp.asarray(w_cls)
 
     batches = {
         "local(img-clustered)": rotate3d(jnp.asarray(local_quats(
@@ -68,7 +71,7 @@ def main():
                                                 (n,))),
     }
     fns = {"flat-windowed": lambda r: insert_sweep_flat3d(
-               v, cw, r, wc, big, pf)}
+               v, cw, r, wc, big, pf, chunk=24)}
     if not args.skip_dense:
         fns["dense-sweep"] = lambda r: insert_sweep_3d(
             v, cw, r, wc, big, pf)

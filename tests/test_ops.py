@@ -502,3 +502,35 @@ def test_insert_sweep_flat3d_matches_dense_sweep():
         sf = float(jnp.max(jnp.abs(f0)))
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
                                    atol=2e-2 * sf, err_msg=name)
+
+
+def test_sweep_s1_banded_matches_dense():
+    """The banded in-plane passes must reproduce the dense hat-field
+    passes exactly (same hat weights; only the evaluated support
+    changes — everything outside the band is a zero hat)."""
+    from thunder_tpu.geometry.quaternion import random_quat, rotate3d
+    from thunder_tpu.ops.insert import (_sweep_coeffs, _sweep_s1,
+                                        _sweep_s1_banded)
+
+    chunk, nk, big, ch, pf = 8, 21, 56, 3, 2
+    rng = np.random.default_rng(3)
+    vals = (rng.standard_normal((chunk, nk, nk))
+            + 1j * rng.standard_normal((chunk, nk, nk))).astype(np.complex64)
+    ctfw = rng.uniform(0.1, 1, (chunk, nk, nk)).astype(np.float32)
+    wcc = rng.uniform(0.2, 1, (chunk, 1)).astype(np.float32)
+    rot = rotate3d(random_quat(jax.random.PRNGKey(2), (chunk,)))
+    co = _sweep_coeffs(rot, pf)
+    hh = jnp.arange(nk, dtype=jnp.float32) - nk // 2
+    gg = jnp.arange(big, dtype=jnp.float32) - big // 2
+
+    s1a, al_a, be_a, _ = _sweep_s1(jnp.asarray(vals), jnp.asarray(ctfw),
+                                   jnp.asarray(wcc), co, ch, chunk, nk,
+                                   hh, gg)
+    s1b, al_b, be_b, _ = _sweep_s1_banded(jnp.asarray(vals),
+                                          jnp.asarray(ctfw),
+                                          jnp.asarray(wcc), co, ch,
+                                          chunk, nk, hh, gg)
+    np.testing.assert_array_equal(np.asarray(al_a), np.asarray(al_b))
+    sc = float(jnp.max(jnp.abs(s1a)))
+    np.testing.assert_allclose(np.asarray(s1b), np.asarray(s1a),
+                               atol=3e-2 * sc)

@@ -257,6 +257,114 @@ def _sweep_s1(valsc, ctfwc, wcc, co: dict, ch: int, chunk: int, nk: int,
     return s1, alc2, bec2, co["case_oh"]
 
 
+def _band_windows(u_pad, o_idx, w_sz: int):
+    """Per-(b, x, tile) windows of a padded contraction axis:
+    u_pad (b, x, c, K + 2*w_sz), o_idx (b, x, j) padded start indices ->
+    (b, x, j, c, w_sz).  Lowered as a vmapped dynamic_slice — a gather
+    of c*w_sz-element rows (the elementwise take_along_axis formulation
+    gathers scalars, which TPU does ~100x slower per byte)."""
+    c = u_pad.shape[2]
+
+    def one(u, o):
+        return jax.lax.dynamic_slice(u, (0, o), (c, w_sz))
+
+    return jax.vmap(jax.vmap(jax.vmap(one, (None, 0)), (0, 0)),
+                    (0, 0))(u_pad, o_idx)
+
+
+# In-plane band-matmul tiling: output tiles of _BAND_T cells along the
+# spread axis; the contraction window sizes cover the worst-case
+# stride of the sheared hat centers (|em2| >= 0.82 -> T/0.82 + 3;
+# |p_h| = pf^2 |n_a| / |em2| >= 1.155 -> T/1.155 + 3).
+_BAND_T = 32
+_BAND_W_A = 48
+_BAND_W_B = 32
+
+
+def _sweep_s1_banded(valsc, ctfwc, wcc, co: dict, ch: int, chunk: int,
+                     nk: int, hh, gg):
+    """_sweep_s1 with BANDED in-plane passes: the dense hat fields w3
+    (b, h, k, m) and w2 (b, h, m, l) cost 20 + 41 MB/slice of HBM at
+    256px rU-band shapes — most of the measured reco_insert wall after
+    the height pass is windowed.  Each output tile of _BAND_T cells
+    only receives from a _BAND_W_* window of the contracted axis
+    (the hat support is 2 cells and the sheared centers move >= 0.82
+    cell per input step), so each pass becomes per-(b, row, tile)
+    window gathers + small band matmuls with IDENTICAL hat weights.
+
+    Returns (s1 (chunk, ch, m, l) canonical, alc2, bec2, case_oh) —
+    bitwise semantics of _sweep_s1 up to f32/bf16 summation order."""
+    big = gg.shape[0]
+    r_h = nk // 2
+    t_sz = _BAND_T
+    n_j = -(-big // t_sz)
+    m_pad = n_j * t_sz
+    gg_pad = jnp.arange(m_pad, dtype=jnp.float32) - big // 2
+    gt = gg_pad.reshape(n_j, t_sz)                       # tile m values
+
+    uc = jnp.stack([jnp.real(valsc), jnp.imag(valsc), ctfwc], axis=1)
+    uc = (wcc[:, :, None, None, None] * uc[:, None]).reshape(
+        chunk, ch, nk, nk)
+    uc = jnp.where(co["swap_hk"][:, None, None, None],
+                   jnp.swapaxes(uc, -1, -2), uc)
+
+    em1 = co["em1"][:, None, None]                       # (b,1,1)
+    em2 = co["em2"][:, None, None]
+
+    # ---- pass A: spread k -> m (contract k) --------------------------
+    w_a = _BAND_W_A
+    u2 = jnp.transpose(uc, (0, 2, 1, 3))                 # (b, h, c, k)
+    u2 = jnp.pad(u2, ((0, 0), (0, 0), (0, 0), (w_a, w_a))
+                 ).astype(jnp.bfloat16)
+    # window start: min over the tile of (gm - em1*h)/em2, minus hat
+    # support; elementwise min of the two endpoints handles sign(em2)
+    e0 = (gt[None, None, :, 0] - em1 * hh[None, :, None]) / em2
+    e1 = (gt[None, None, :, -1] - em1 * hh[None, :, None]) / em2
+    lo = jnp.minimum(e0, e1) - 1.0                       # (b, h, j) hh units
+    o_a = jnp.clip(jnp.floor(lo).astype(jnp.int32) + r_h + w_a,
+                   0, nk + w_a)                          # padded k index
+    win_u = _band_windows(u2, o_a, w_a)                  # (b,h,j,c,Wa)
+    k_hh = (o_a[..., None] - w_a + jnp.arange(w_a) - r_h
+            ).astype(jnp.float32)                        # (b,h,j,Wa)
+    ctr = em1[..., None] * hh[None, :, None, None] + em2[..., None] * k_hh
+    wgt = _hat(gt[None, None, :, None, :] - ctr[..., None]
+               ).astype(jnp.bfloat16)                    # (b,h,j,Wa,T)
+    b_hm = jnp.einsum("bhjcw,bhjwt->bhjct", win_u, wgt,
+                      preferred_element_type=jnp.float32)
+    b_hm = jnp.transpose(b_hm, (0, 3, 1, 2, 4)).reshape(
+        chunk, ch, nk, m_pad)[..., :big]                 # (b, c, h, m)
+
+    # ---- pass B: spread h -> l (contract h) --------------------------
+    w_b = _BAND_W_B
+    p_h = co["p_h"][:, None, None]
+    q_m = co["q_m"][:, None, None]
+    u3 = jnp.transpose(b_hm, (0, 3, 1, 2))               # (b, m, c, h)
+    u3 = jnp.pad(u3, ((0, 0), (0, 0), (0, 0), (w_b, w_b))
+                 ).astype(jnp.bfloat16)
+    gm = gg[None, :, None]                               # (1, m, 1)
+    e0 = (gt[None, None, :, 0] - q_m * gm) / p_h
+    e1 = (gt[None, None, :, -1] - q_m * gm) / p_h
+    lo = jnp.minimum(e0, e1) - 1.0                       # (b, m, j)
+    o_b = jnp.clip(jnp.floor(lo).astype(jnp.int32) + r_h + w_b,
+                   0, nk + w_b)
+    win_b = _band_windows(u3, o_b, w_b)                  # (b,m,j,c,Wb)
+    h_hh = (o_b[..., None] - w_b + jnp.arange(w_b) - r_h
+            ).astype(jnp.float32)                        # (b,m,j,Wb)
+    ctr_l = p_h[..., None] * h_hh + q_m[..., None] * gm[..., None]
+    wgt_b = _hat(gt[None, None, :, None, :] - ctr_l[..., None]
+                 ).astype(jnp.bfloat16)                  # (b,m,j,Wb,T)
+    s1 = jnp.einsum("bmjcw,bmjwt->bmjct", win_b, wgt_b,
+                    preferred_element_type=jnp.float32)
+    s1 = jnp.transpose(s1, (0, 3, 1, 2, 4)).reshape(
+        chunk, ch, big, m_pad)[..., :big]                # (b, c, m, l)
+
+    s1 = jnp.where(co["swap_ml"][:, None, None, None],
+                   jnp.swapaxes(s1, -1, -2), s1)
+    alc2 = jnp.where(co["swap_ml"], co["beta"], co["alpha"])
+    bec2 = jnp.where(co["swap_ml"], co["alpha"], co["beta"])
+    return s1, alc2, bec2, co["case_oh"]
+
+
 # Height-axis kernel width for the sweep inserter.  The in-plane passes
 # keep hat width 1 (trilinear-like), but the height pass needs width 2:
 # a width-1 kernel centred on the plane's per-column height leaves the
@@ -360,14 +468,32 @@ def _height_windowed_update(acc, s1, alc2, bec2, case_idx, ch: int,
     s1t = jnp.transpose(s1, (2, 3, 1, 0)).astype(jnp.bfloat16)  # (m,l,c,b)
     cwin = jnp.einsum("mlcb,mlbw->mlcw", s1t, wzw,
                       preferred_element_type=jnp.float32)
-    cwin = jnp.pad(cwin, ((0, 0), (0, 0), (0, 0), (0, 1)))     # zero slot
-    j = (gg[None, None, :] - c0[..., None] + win // 2).astype(jnp.int32)
-    j = jnp.where((j >= 0) & (j < win), j, win)                # (m, l, a)
-    upd = jnp.take_along_axis(cwin, j[:, :, None, :], axis=-1)  # (m,l,c,a)
+    # add the window into the case slab at its per-(m, l) a-offset.
+    # Row-structured: each (m, l) lane dynamic-slices its (ch, win)
+    # a-window out of its own slab, adds, and writes it back — a
+    # gather/scatter of ch*win-element rows.  (A take_along_axis over
+    # the full (m, l, ch, a) output gathers SCALARS — measured 10x
+    # slower than the entire dense height pass.)
     slab = jax.lax.dynamic_slice(
-        acc, (case_idx, 0, 0, 0, 0), (1, big, big, ch, big))
+        acc, (case_idx, 0, 0, 0, 0), (1, big, big, ch, big))[0]
+    off = jnp.clip((c0 + big // 2 - win // 2).astype(jnp.int32),
+                   0, big - win).reshape(-1)                   # (m*l,)
+    # window clipped at the grid edge: re-window cwin so the hat slots
+    # line up with the clipped offset (shift = clipped - unclipped;
+    # nonzero only within win cells of the grid edge, where only
+    # out-of-grid hat mass is discarded)
+    shift = off - (c0.reshape(-1) + big // 2 - win // 2).astype(jnp.int32)
+    cflat = cwin.reshape(-1, ch, win)
+
+    def lane(slab_ml, cw, o, sh):
+        w = jax.lax.dynamic_slice(
+            jnp.pad(cw, ((0, 0), (win, win))), (0, win + sh), (ch, win))
+        cur = jax.lax.dynamic_slice(slab_ml, (0, o), (ch, win))
+        return jax.lax.dynamic_update_slice(slab_ml, cur + w, (0, o))
+
+    slab = jax.vmap(lane)(slab.reshape(-1, ch, big), cflat, off, shift)
     return jax.lax.dynamic_update_slice(
-        acc, slab + upd[None], (case_idx, 0, 0, 0, 0))
+        acc, slab.reshape(1, big, big, ch, big), (case_idx, 0, 0, 0, 0))
 
 
 def _height_dense_update(acc, s1, alc2, bec2, case_c, ch: int, gg,
@@ -402,15 +528,18 @@ def _height_dense_update(acc, s1, alc2, bec2, case_c, ch: int, gg,
 
 
 def _sweep_height_pass_v2(acc, valsc, ctfwc, wcc, co: dict, ch: int,
-                          chunk: int, nk: int, hh, gg, win: int = 64):
+                          chunk: int, nk: int, hh, gg, win: int = 64,
+                          banded_s1: bool = True):
     """One SORTED chunk of the 3-pass sweep into the per-case
     accumulator (3, big, big, ch, big): windowed height pass when the
     chunk is case-uniform with window-tight shear coefficients (the
     caller sorted by _sweep_sort_key, so at local rounds nearly every
     chunk qualifies), dense fallback otherwise."""
     big = gg.shape[0]
-    s1, alc2, bec2, case_c = _sweep_s1(valsc, ctfwc, wcc, co, ch,
-                                       chunk, nk, hh, gg)
+    win = min(win, big)
+    s1_fn = _sweep_s1_banded if banded_s1 else _sweep_s1
+    s1, alc2, bec2, case_c = s1_fn(valsc, ctfwc, wcc, co, ch,
+                                   chunk, nk, hh, gg)
     case = jnp.argmax(case_c, axis=-1).astype(jnp.int32)
     uniform = jnp.all(case == case[0])
     dev = (0.5 * (jnp.max(alc2) - jnp.min(alc2))
@@ -522,18 +651,21 @@ def insert_sweep_3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
 
 
 def flat_chunk_budget(big: int, win: int = 64,
-                      wzw_bytes: float = 1.5e9) -> int:
-    """Scan-chunk size for the windowed flat inserter: the windowed hat
-    field is (big^2, chunk, win) bf16; bigger chunks amortize the
-    accumulator's read-modify-write per step."""
-    cap = int(wzw_bytes // (big * big * win * 2))
+                      field_bytes: float = 1.2e9) -> int:
+    """Scan-chunk size for the windowed flat inserter.  The binding
+    transient is currently the DENSE in-plane pass-2 hat field
+    (chunk, nk, big, big) bf16 with nk ~ big/2 (the windowed height
+    field is only (big^2, chunk, win)); chunk is capped so that field
+    stays ~1.2 GB.  Banding the in-plane passes lifts this cap."""
+    cap = int(field_bytes // ((big // 2) * big * big * 2))
     return max(8, min(128, (cap // 8) * 8))
 
 
 def insert_sweep_flat3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
                         w_cls: jax.Array, big: int, pf: int,
                         chunk: int | None = None,
-                        win: int = 64) -> tuple[jax.Array, jax.Array]:
+                        win: int = 64,
+                        banded_s1: bool = True) -> tuple[jax.Array, jax.Array]:
     """Sorted windowed-height shear-sweep insertion (insert_sweep_3d
     semantics, round-5 kernel): slices sort by (height case, shear
     coefficients) so each scan chunk's height hat field fits a
@@ -575,7 +707,8 @@ def insert_sweep_flat3d(vals: jax.Array, ctf2w: jax.Array, rot: jax.Array,
     def chunk_step(acc, inp):
         valsc, ctfwc, wcc, co = inp
         return _sweep_height_pass_v2(acc, valsc, ctfwc, wcc, co, ch,
-                                     chunk, nk, hh, gg, win), 0.0
+                                     chunk, nk, hh, gg, win,
+                                     banded_s1), 0.0
 
     acc0 = jnp.zeros((3, big, big, ch, big), jnp.float32)
     acc, _ = jax.lax.scan(

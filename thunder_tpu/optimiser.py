@@ -1421,11 +1421,22 @@ def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
     """
     from thunder_tpu.ops.insert import (
         _sweep_coeffs,
+        _sweep_finalize,
         _sweep_finalize_case,
+        _sweep_height_pass,
         _sweep_height_pass_v2,
         _sweep_sort_key,
         flat_chunk_budget,
+        sweep_chunk_budget,
     )
+
+    # The windowed/banded v2 kernel (r5) wins only when scan chunks are
+    # nearly single-image (sorted draws share shear coefficients);
+    # production chunk sizes span images and fall to its dense branch,
+    # measured 2.3x slower than the plain dense sweep
+    # (scripts/micro_insert_modes.py).  Opt-in until the windowed
+    # branch beats v1 at production chunking.
+    use_v2 = os.environ.get("THUNDER_INSERT_V2", "0") == "1"
 
     c = size // 2
     nk = 2 * r_u - 1
@@ -1444,7 +1455,8 @@ def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
     ch = 3 * n_cls
     big = grid_size * pf
     n_flat = quats.shape[0]
-    chunk = flat_chunk_budget(big)
+    chunk = (flat_chunk_budget(big) if use_v2
+             else sweep_chunk_budget(big, 128 if big < 256 else 64, 2.5e9))
     n_chunks = (n_flat + chunk - 1) // chunk
     padb = n_chunks * chunk - n_flat
     if padb:
@@ -1456,14 +1468,15 @@ def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
         w_sl = jnp.pad(w_sl, ((0, 0), (0, padb)))      # 0-weight pads
     rot = rotate3d(quats)
     coeffs = _sweep_coeffs(rot, pf)
-    # sort by (height case, shear coefficients) so the windowed height
-    # pass engages on nearly every chunk (see _sweep_sort_key)
-    order_s, _, _, _ = _sweep_sort_key(coeffs)
-    trans = trans[order_s]
-    d_draw = d_draw[order_s]
-    img_idx = img_idx[order_s]
-    w_sl = w_sl[:, order_s]
-    coeffs = jax.tree.map(lambda a: a[order_s], coeffs)
+    if use_v2:
+        # sort by (height case, shear coefficients) so the windowed
+        # height pass engages on nearly every chunk (_sweep_sort_key)
+        order_s, _, _, _ = _sweep_sort_key(coeffs)
+        trans = trans[order_s]
+        d_draw = d_draw[order_s]
+        img_idx = img_idx[order_s]
+        w_sl = w_sl[:, order_s]
+        coeffs = jax.tree.map(lambda a: a[order_s], coeffs)
 
     dat = jax.lax.dynamic_slice(
         ft, (0, c - rr, c - rr), (ft.shape[0], nk, nk))     # (L, nk, nk)
@@ -1487,18 +1500,21 @@ def _insert_flat3d_h(ft, cp, quats, trans, d_draw, w_sl, img_idx,
             ctf = ctf_packed(cp_c, vc, vr, size, pixel_size)
         vals = dat_c * jnp.conj(tra) * (ctf * mask_d)
         ctf2w = ctf * ctf * mask_d
-        acc = _sweep_height_pass_v2(
+        hp = _sweep_height_pass_v2 if use_v2 else _sweep_height_pass
+        acc = hp(
             acc, vals.reshape(chunk, nk, nk),
             ctf2w.reshape(chunk, nk, nk), w_c, co, ch, chunk, nk, hh, gg)
         return acc, 0.0
 
-    acc0 = jnp.zeros((3, big, big, ch, big), jnp.float32)
+    acc0 = jnp.zeros((3, big, big, ch, big) if use_v2
+                     else (big, big, 3 * ch, big), jnp.float32)
     acc, _ = jax.lax.scan(
         step, acc0,
         (rc(img_idx), rc(trans), rc(d_draw), rc(w_sl.T),
          jax.tree.map(rc, coeffs)),
     )
-    f, t = _sweep_finalize_case(acc, n_cls, big)
+    f, t = (_sweep_finalize_case if use_v2 else _sweep_finalize)(
+        acc, n_cls, big)
     if n_sym > 1:
         f = jax.vmap(lambda g: symmetrize_ft(g, sym_mats,
                                              max_radius_pad))(f)
