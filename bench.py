@@ -178,6 +178,9 @@ def _roofline_round(opt, i_round, n):
     l_img = int(opt.state.par.r.shape[1])
     out = {"round": rec["round"], "stage_ms": stage_ms,
            "proj_table": rec.get("proj_table", "oct-half")}
+    ins = getattr(opt, "_last_insert_stats", None)
+    if ins:
+        out["insert"] = dict(ins)
 
     t_ph = stage_ms.get("phases", 0.0) / 1e3
     n_ph = max(rec.get("n_phases", [1, 1]))

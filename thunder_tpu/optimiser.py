@@ -3137,6 +3137,11 @@ class Optimiser:
         ladder = [n_l * m for m in (2, 4, 8, 16, 32)
                   if n_l * m < n_l * n_slots] + [n_l * n_slots]
         bucket = next(b for b in ladder if b >= nv)
+        # surfaced in the bench roofline: the inserter's cost model is
+        # slices x work-per-slice, so stage timings are uninterpretable
+        # without the actual slice count
+        self._last_insert_stats = {"n_valid_slices": nv,
+                                   "bucket": bucket}
         take = order[:, :bucket]                        # (2, B)
         img_idx = take // n_slots
         qf = jnp.take_along_axis(quats.reshape(2, -1, 4),
