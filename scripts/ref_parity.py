@@ -146,12 +146,24 @@ def main():
     t0 = time.time()
     plat = ("import jax; jax.config.update('jax_platforms','cpu');"
             if a.platform == "cpu" else "")
+    env = dict(os.environ)
+    if a.platform == "axon":
+        # the axon sitecustomize registers a TPU session in EVERY
+        # python process on its PYTHONPATH — including THIS parent,
+        # whose idle claim can wedge the child's chip session.  Run the
+        # parent claim-free (PYTHONPATH without /root/.axon_site) and
+        # hand the axon path only to the child.
+        env["PYTHONPATH"] = os.pathsep.join(
+            ["/root/.axon_site"]
+            + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+               if p])
+        env.setdefault("JAX_PLATFORMS", "axon")
     sh([sys.executable, "-c",
         plat +
         "import sys; sys.path.insert(0, %r);"
         "from thunder_tpu.cli import thunder;"
         "sys.argv=['thunder', %r]; thunder.main()" % (REPO, cfg_path)],
-       cwd=wd)
+       cwd=wd, env=env)
     report["tpu_seconds"] = time.time() - t0
     tpu_out = os.path.join(wd, "output_tpu")
     if os.path.isdir(tpu_out):

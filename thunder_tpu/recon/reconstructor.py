@@ -275,19 +275,34 @@ def reconstruct_two_pass(f_grid: jax.Array, t_grid: jax.Array,
     at 256px (BENCH_r04 roofline)."""
     t_real = jnp.real(t_grid) if jnp.iscomplexobj(t_grid) else t_grid
     t_w = wiener_filter_t(t_real, fsc_curve, pf, max_radius, join_half)
-    t12 = jnp.stack([t_real, t_w])
-    if grid_corr:
+    big, ndim = t_real.shape[-1], t_real.ndim
+    # batch the two passes only at BIG grids: the batched while_loop
+    # runs max(N1, N2) iterations for BOTH lanes (lane carries are
+    # masked, work is not), which pays off when the per-iteration FFT
+    # pair is expensive enough that fuller batching wins (256px rU
+    # grids: reco_fsc 2.80 -> 2.35 s) and loses at small ones (128px:
+    # 0.31 -> 0.47 s measured) where the iteration-count waste
+    # dominates.
+    if grid_corr and big >= 256 and ndim == 3:
+        t12 = jnp.stack([t_real, t_w])
         w12 = jax.vmap(
             lambda t: balance_weights(t, pf, max_radius))(t12)
-    else:
-        big, ndim = t_real.shape[-1], t_real.ndim
+        rec_fsc, rec_map = jax.vmap(
+            lambda w: finalize_reconstruction(f_grid, w, size, pf,
+                                              max_radius, grid_corr,
+                                              kernel))(w12)
+        return rec_fsc, rec_map
+
+    def one_w(t):
+        if grid_corr:
+            return balance_weights(t, pf, max_radius)
         quad_inside = _quad_inside(big, ndim, max_radius * pf)
-        w12 = jnp.where(quad_inside[None],
-                        1.0 / jnp.maximum(t12, T_MIN), 0.0)
-    rec_fsc, rec_map = jax.vmap(
-        lambda w: finalize_reconstruction(f_grid, w, size, pf,
-                                          max_radius, grid_corr, kernel))(
-        w12)
+        return jnp.where(quad_inside, 1.0 / jnp.maximum(t, T_MIN), 0.0)
+
+    rec_fsc = finalize_reconstruction(f_grid, one_w(t_real), size, pf,
+                                      max_radius, grid_corr, kernel)
+    rec_map = finalize_reconstruction(f_grid, one_w(t_w), size, pf,
+                                      max_radius, grid_corr, kernel)
     return rec_fsc, rec_map
 
 
